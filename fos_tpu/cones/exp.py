@@ -1,0 +1,165 @@
+"""Projection onto the exponential cone.
+
+The reference outsources this to ProximalOperators' ``IndExpPrimal`` /
+``IndExpDual`` (/root/reference/src/cones.jl:12-13); here it is implemented
+natively as a jit-safe, vmappable univariate root find so thousands of
+3-dimensional exp-cone blocks project in one fused vectorized pass.
+
+Definitions (MathProgBase / SCS ordering ``(x, y, z)``):
+
+    Kexp  = cl{ (x,y,z) : y > 0, y*exp(x/y) <= z }
+    Kexp* = cl{ (u,v,w) : u < 0, -u*exp(v/u) <= e*w } ∪ {(0,v,w): v,w >= 0}
+
+Method: the non-trivial projection ``p = (a*x2, x2, x2*e^a)`` lies on the
+boundary with multiplier ``mu > 0`` so that ``v0 - p = -mu * (e^a,
+e^a*(1-a), -1)``.  Eliminating ``(x2, mu)`` from the three stationarity
+equations gives the univariate root problem
+
+    h(rho) = ((rho-1)*r + s)*e^rho + (rho*s - r)*e^(-rho) - (rho^2-rho+1)*t
+
+with ``x2 = ((rho-1)*r + s) / (rho^2 - rho + 1)`` — note the denominator
+``rho^2-rho+1 >= 3/4`` never vanishes.  This is the same reduction as
+H. Friberg, "Projection onto the exponential cone: a univariate root-finding
+problem" (2021), used by SCS.  We bracket the root from the positivity
+constraints ``x2 > 0`` and ``mu > 0`` and run a fixed-iteration bisection
+(jit-friendly: no data-dependent trip counts), followed by a few Newton
+polish steps.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EXPANSION_ITERS = 64
+_BISECTION_ITERS = 96
+_NEWTON_ITERS = 8
+
+
+def _h(rho, r, s, t):
+    quad = rho * (rho - 1.0) + 1.0
+    return ((rho - 1.0) * r + s) * jnp.exp(rho) + (rho * s - r) * jnp.exp(-rho) - quad * t
+
+
+def _h_grad(rho, r, s, t):
+    return (
+        (rho * r + s) * jnp.exp(rho)
+        + (r - (rho - 1.0) * s) * jnp.exp(-rho)
+        - (2.0 * rho - 1.0) * t
+    )
+
+
+def _in_primal(r, s, t):
+    interior = (s > 0) & (s * jnp.exp(jnp.minimum(r / jnp.where(s > 0, s, 1.0), 50.0)) <= t)
+    boundary = (s == 0) & (r <= 0) & (t >= 0)
+    return interior | boundary
+
+
+def _in_polar(r, s, t):
+    # v0 in polar(Kexp)  <=>  -v0 in Kexp*.
+    u, v, w = -r, -s, -t
+    ratio = v / jnp.where(u < 0, u, -1.0)
+    interior = (u < 0) & (-u * jnp.exp(jnp.minimum(ratio, 50.0)) <= jnp.e * w)
+    boundary = (u == 0) & (v >= 0) & (w >= 0)
+    return interior | boundary
+
+
+def _hard_case_root(r, s, t):
+    """Root of h on the interval where x2 > 0 and mu > 0."""
+    big = jnp.asarray(1.0, r.dtype)
+
+    # The root must keep x2 > 0 and mu > 0:
+    #   x2*quad = (rho-1)*r + s > 0
+    #   mu*quad*e^rho = r - rho*s > 0
+    lb1 = jnp.where(r > 0, 1.0 - s / jnp.where(r > 0, r, 1.0), -jnp.inf)
+    ub1 = jnp.where(r < 0, 1.0 - s / jnp.where(r < 0, r, 1.0), jnp.inf)
+    lb2 = jnp.where(s < 0, r / jnp.where(s < 0, s, 1.0), -jnp.inf)
+    ub2 = jnp.where(s > 0, r / jnp.where(s > 0, s, 1.0), jnp.inf)
+
+    lb = jnp.maximum(lb1, lb2)
+    ub = jnp.minimum(ub1, ub2)
+    lb_finite = jnp.isfinite(lb)
+    ub_finite = jnp.isfinite(ub)
+    lo = jnp.where(lb_finite, lb, jnp.where(ub_finite, ub - big, -big))
+    hi = jnp.where(ub_finite, ub, jnp.where(lb_finite, lb + big, big))
+
+    h_lo = _h(lo, r, s, t)
+    h_hi = _h(hi, r, s, t)
+
+    # Expand the unbounded end(s) geometrically until a sign change is
+    # bracketed; finite feasibility ends stay fixed (the root lies inside).
+    def expand(carry, _):
+        lo, hi, h_lo, h_hi, width = carry
+        no_bracket = jnp.sign(h_lo) == jnp.sign(h_hi)
+        new_lo = jnp.where(no_bracket & ~lb_finite, lo - width, lo)
+        new_hi = jnp.where(no_bracket & ~ub_finite, hi + width, hi)
+        new_h_lo = jnp.where(no_bracket, _h(new_lo, r, s, t), h_lo)
+        new_h_hi = jnp.where(no_bracket, _h(new_hi, r, s, t), h_hi)
+        return (new_lo, new_hi, new_h_lo, new_h_hi, width * 2.0), None
+
+    (lo, hi, h_lo, h_hi, _), _ = jax.lax.scan(
+        expand, (lo, hi, h_lo, h_hi, big), None, length=_EXPANSION_ITERS
+    )
+
+    # Bisection (fixed iterations).  Keep the invariant sign(h(lo)) != sign(h(hi)).
+    def bisect(carry, _):
+        lo, hi, h_lo = carry
+        mid = 0.5 * (lo + hi)
+        h_mid = _h(mid, r, s, t)
+        go_right = jnp.sign(h_mid) == jnp.sign(h_lo)
+        new_lo = jnp.where(go_right, mid, lo)
+        new_hi = jnp.where(go_right, hi, mid)
+        new_h_lo = jnp.where(go_right, h_mid, h_lo)
+        return (new_lo, new_hi, new_h_lo), None
+
+    (lo, hi, _), _ = jax.lax.scan(bisect, (lo, hi, h_lo), None, length=_BISECTION_ITERS)
+    rho = 0.5 * (lo + hi)
+
+    # Newton polish, clamped to the bracket.
+    def newton(rho, _):
+        g = _h_grad(rho, r, s, t)
+        step = _h(rho, r, s, t) / jnp.where(g != 0, g, 1.0)
+        new = jnp.clip(rho - step, lo, hi)
+        return jnp.where(jnp.isfinite(new), new, rho), None
+
+    rho, _ = jax.lax.scan(newton, rho, None, length=_NEWTON_ITERS)
+    return rho
+
+
+def project_exp_single(v):
+    """Project one 3-vector ``v = (r, s, t)`` onto Kexp."""
+    r, s, t = v[0], v[1], v[2]
+    in_primal = _in_primal(r, s, t)
+    in_polar = _in_polar(r, s, t)
+    special = (r <= 0) & (s <= 0)
+
+    # Evaluate the hard case on a safe dummy input when it doesn't apply, to
+    # avoid NaNs contaminating the where().
+    hard = ~(in_primal | in_polar | special)
+    rh = jnp.where(hard, r, 0.0)
+    sh = jnp.where(hard, s, 1.0)
+    th = jnp.where(hard, t, -1.0)
+    rho = _hard_case_root(rh, sh, th)
+    quad = rho * (rho - 1.0) + 1.0
+    x2 = jnp.maximum(((rho - 1.0) * rh + sh) / quad, 0.0)
+    p_hard = jnp.stack([rho * x2, x2, x2 * jnp.exp(rho)])
+
+    p_special = jnp.stack([r, jnp.zeros_like(s), jnp.maximum(t, 0.0)])
+    zero3 = jnp.zeros_like(v)
+
+    out = jnp.where(in_primal, v, jnp.where(in_polar, zero3, jnp.where(special, p_special, p_hard)))
+    return out
+
+
+project_exp = jax.vmap(project_exp_single)  # (k, 3) -> (k, 3)
+
+
+def project_exp_dual_single(v):
+    """Project onto Kexp* via Moreau: P_{K*}(v) = v + P_K(-v).
+
+    Mirrors the reference's generic dual prox (src/cones.jl:80-85).
+    """
+    return v + project_exp_single(-v)
+
+
+project_exp_dual = jax.vmap(project_exp_dual_single)

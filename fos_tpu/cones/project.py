@@ -1,0 +1,310 @@
+"""Fused cone-product projection.
+
+The reference projects a product of cones with a sequential per-block Julia
+loop (/root/reference/src/cones.jl:89-94, with a ``#TODO Paralell
+implementation`` note).  The TPU-native design compiles a :class:`ConeSpec`
+once into a *single fused projection pass* over the whole vector:
+
+* all elementwise cones (Free/Zero/NonNeg/NonPos) become one masked clip
+  with precomputed lower/upper-bound vectors;
+* all SOC blocks (any sizes, any count) are projected together with one
+  segment-reduction (`segment_sum`) pass — no per-block loop;
+* rotated-SOC blocks are folded into the SOC pass through the orthogonal
+  rotation H = [[1,1],[1,-1]]/sqrt(2) applied to their first two entries;
+* PSD blocks are bucketed by matrix side and projected with batched ``eigh``
+  in the scaled svec layout (matching ProximalOperators ``IndPSD(scaling=
+  true)``, see /root/reference/src/cones.jl:11);
+* exponential-cone blocks are gathered to an ``(k, 3)`` batch and projected
+  with the vmapped root-finder in :mod:`fos_tpu.cones.exp`.
+
+Dual-cone projection is pure spec algebra: ``project_dual(spec, x) ==
+project(spec.dual(), x)`` because every cone type has a closed-form dual in
+the registry (src/cones.jl:97-102); only ExpDual falls back to the Moreau
+identity internally.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fos_tpu.cones.spec import Cone, ConeSpec, psd_side_from_len
+from fos_tpu.cones import exp as exp_cone
+
+_SQRT2 = np.sqrt(2.0)
+
+
+def _build_plan(blocks: Tuple[Tuple[Cone, int], ...]):
+    """Precompute (as numpy constants) the index arrays for the fused pass."""
+    dim = sum(d for _, d in blocks)
+    lo = np.full(dim, -np.inf)
+    hi = np.full(dim, np.inf)
+
+    soc_idx = []       # element indices of all SOC elements, in block order
+    soc_seg = []       # segment id per element
+    soc_head = []      # head mask per element
+    rot_pq = []        # (p_idx, q_idx) pairs needing the rotation transform
+    psd_groups = {}    # side -> list of block start offsets
+    exp_idx = []       # starts of primal exp 3-blocks
+    exp_dual_idx = []  # starts of dual exp 3-blocks
+
+    off = 0
+    seg = 0
+    for cone, d in blocks:
+        sl = np.arange(off, off + d)
+        if cone is Cone.FREE:
+            pass
+        elif cone is Cone.ZERO:
+            lo[sl] = 0.0
+            hi[sl] = 0.0
+        elif cone is Cone.NONNEG:
+            lo[sl] = 0.0
+        elif cone is Cone.NONPOS:
+            hi[sl] = 0.0
+        elif cone in (Cone.SOC, Cone.SOC_ROTATED):
+            if cone is Cone.SOC_ROTATED:
+                rot_pq.append((off, off + 1))
+            soc_idx.append(sl)
+            soc_seg.append(np.full(d, seg))
+            head = np.zeros(d, dtype=bool)
+            head[0] = True
+            soc_head.append(head)
+            seg += 1
+        elif cone is Cone.PSD:
+            side = psd_side_from_len(d)
+            psd_groups.setdefault(side, []).append(off)
+        elif cone is Cone.EXP_PRIMAL:
+            exp_idx.extend(range(off, off + d, 3))
+        elif cone is Cone.EXP_DUAL:
+            exp_dual_idx.extend(range(off, off + d, 3))
+        else:  # pragma: no cover
+            raise NotImplementedError(cone)
+        off += d
+
+    plan = {
+        "dim": dim,
+        "lo": lo,
+        "hi": hi,
+        "elementwise_only": not (soc_idx or psd_groups or exp_idx or exp_dual_idx),
+        "soc": None,
+        "psd": [],
+        "exp": None,
+        "exp_dual": None,
+    }
+    if soc_idx:
+        plan["soc"] = {
+            "idx": np.concatenate(soc_idx),
+            "seg": np.concatenate(soc_seg).astype(np.int32),
+            "head": np.concatenate(soc_head),
+            "nseg": seg,
+            "rot_p": np.array([p for p, _ in rot_pq], dtype=np.int64),
+            "rot_q": np.array([q for _, q in rot_pq], dtype=np.int64),
+        }
+    for side, offs in sorted(psd_groups.items()):
+        L = side * (side + 1) // 2
+        # svec order: lower triangle stacked by columns.
+        rows, cols = [], []
+        for j in range(side):
+            for i in range(j, side):
+                rows.append(i)
+                cols.append(j)
+        gather = np.stack([np.arange(o, o + L) for o in offs])  # (nb, L)
+        plan["psd"].append(
+            {
+                "side": side,
+                "gather": gather,
+                "rows": np.array(rows),
+                "cols": np.array(cols),
+                "offdiag": np.array(rows) != np.array(cols),
+            }
+        )
+    if exp_idx:
+        starts = np.array(exp_idx)
+        plan["exp"] = starts[:, None] + np.arange(3)[None, :]  # (k, 3)
+    if exp_dual_idx:
+        starts = np.array(exp_dual_idx)
+        plan["exp_dual"] = starts[:, None] + np.arange(3)[None, :]
+    return plan
+
+
+def _soc_project_flat(vals, seg, head, nseg):
+    """Project concatenated SOC blocks described by segment ids.
+
+    SOC(t, x): if ||x|| <= t identity; if ||x|| <= -t zero; else
+    ((t+||x||)/2) * (1, x/||x||).
+    """
+    v = jnp.moveaxis(vals, -1, 0)  # (N, ...batch)
+    head_b = head.reshape((head.shape[0],) + (1,) * (v.ndim - 1))
+    t_per_elem = jnp.where(head_b, v, 0.0)
+    tail = jnp.where(head_b, 0.0, v)
+    t = jax.ops.segment_sum(t_per_elem, seg, num_segments=nseg, indices_are_sorted=True)
+    nx2 = jax.ops.segment_sum(tail * tail, seg, num_segments=nseg, indices_are_sorted=True)
+    nx = jnp.sqrt(nx2)
+
+    ident = nx <= t
+    zero = nx <= -t
+    c = 0.5 * (t + nx)
+    nx_safe = jnp.where(nx > 0, nx, 1.0)
+    scale_tail = jnp.where(ident, 1.0, jnp.where(zero, 0.0, c / nx_safe))
+    t_out = jnp.where(ident, t, jnp.where(zero, 0.0, c))
+
+    out = jnp.where(head_b, t_out[seg], tail * scale_tail[seg])
+    return jnp.moveaxis(out, 0, -1)
+
+
+def make_projector(blocks: Tuple[Tuple[Cone, int], ...]) -> Callable:
+    """Compile a fused projection function for a product of cones."""
+    plan = _build_plan(tuple(blocks))
+    lo = plan["lo"]
+    hi = plan["hi"]
+    finite_lo = np.isfinite(lo).any() or np.isfinite(hi).any()
+
+    def project_fn(x):
+        if x.shape[-1] != plan["dim"]:
+            raise ValueError(f"expected trailing dim {plan['dim']}, got {x.shape}")
+        y = x
+        if finite_lo:
+            y = jnp.clip(
+                x, jnp.asarray(lo, dtype=x.dtype), jnp.asarray(hi, dtype=x.dtype)
+            )
+        soc = plan["soc"]
+        if soc is not None:
+            vals = x[..., soc["idx"]]
+            if soc["rot_p"].size:
+                p = x[..., soc["rot_p"]]
+                q = x[..., soc["rot_q"]]
+                # rotate (p, q) -> ((p+q)/sqrt2, (p-q)/sqrt2); H is involutive.
+                vals = vals.at[..., _rot_positions(soc)].set(
+                    jnp.stack([(p + q) / _SQRT2, (p - q) / _SQRT2], axis=-1).reshape(
+                        *p.shape[:-1], -1
+                    )
+                )
+            out = _soc_project_flat(vals, soc["seg"], soc["head"], soc["nseg"])
+            if soc["rot_p"].size:
+                pos = _rot_positions(soc)
+                pr = out[..., pos[0::2]]
+                qr = out[..., pos[1::2]]
+                out = out.at[..., pos].set(
+                    jnp.stack([(pr + qr) / _SQRT2, (pr - qr) / _SQRT2], axis=-1).reshape(
+                        *pr.shape[:-1], -1
+                    )
+                )
+            y = y.at[..., soc["idx"]].set(out)
+        for grp in plan["psd"]:
+            y = _psd_project_group(x, y, grp)
+        if plan["exp"] is not None:
+            v = x[..., plan["exp"]]  # (..., k, 3)
+            out = _apply_exp(v, exp_cone.project_exp_single)
+            y = y.at[..., plan["exp"]].set(out)
+        if plan["exp_dual"] is not None:
+            v = x[..., plan["exp_dual"]]
+            out = _apply_exp(v, exp_cone.project_exp_dual_single)
+            y = y.at[..., plan["exp_dual"]].set(out)
+        return y
+
+    return project_fn
+
+
+def _apply_exp(v, single_fn):
+    """vmap an exp projection over the block axis (and any batch axes)."""
+    fn = single_fn
+    for _ in range(v.ndim - 1):
+        fn = jax.vmap(fn)
+    return fn(v)
+
+
+@functools.lru_cache(maxsize=None)
+def _rot_positions_cached(idx_key, rot_p_key):
+    idx, rot_p = np.array(idx_key), np.array(rot_p_key)
+    lookup = {e: i for i, e in enumerate(idx)}
+    pos = []
+    for p in rot_p:
+        pos.append(lookup[p])
+        pos.append(lookup[p + 1])
+    return np.array(pos)
+
+
+def _rot_positions(soc):
+    return _rot_positions_cached(tuple(soc["idx"]), tuple(soc["rot_p"]))
+
+
+def _psd_project_group(x, y, grp):
+    """Batched PSD projection for all blocks of one matrix side.
+
+    Matches ProximalOperators ``IndPSD(scaling=true)``: the svec vector holds
+    the lower triangle column-stacked with off-diagonals scaled by sqrt(2),
+    so ||svec(X)|| = ||X||_F and projection commutes with the layout.
+    """
+    side = grp["side"]
+    vals = x[..., grp["gather"]]  # (..., nb, L)
+    unscale = jnp.where(jnp.asarray(grp["offdiag"]), 1.0 / _SQRT2, 1.0).astype(x.dtype)
+    tri = vals * unscale
+    batch_shape = vals.shape[:-1]
+    X = jnp.zeros((*batch_shape, side, side), dtype=x.dtype)
+    X = X.at[..., grp["rows"], grp["cols"]].set(tri)
+    X = X.at[..., grp["cols"], grp["rows"]].set(tri)
+    w, V = jnp.linalg.eigh(X)
+    w = jnp.maximum(w, 0.0)
+    Xp = jnp.einsum("...ik,...k,...jk->...ij", V, w, V)
+    out = Xp[..., grp["rows"], grp["cols"]] * (1.0 / unscale)
+    return y.at[..., grp["gather"]].set(out)
+
+
+@functools.lru_cache(maxsize=None)
+def _projector_for(blocks):
+    return make_projector(blocks)
+
+
+def project(spec: ConeSpec, x):
+    """Project ``x`` onto the cone product described by ``spec``."""
+    return _projector_for(spec.blocks)(x)
+
+
+def project_dual(spec: ConeSpec, x):
+    """Project ``x`` onto the dual cone product.
+
+    Reference semantics: ``proxDual!(y, C, x) = x + prox(C, -x)`` with
+    closed-form shortcuts (src/cones.jl:80-102); here duality is resolved at
+    the spec level instead.
+    """
+    return _projector_for(spec.dual().blocks)(x)
+
+
+def svec(X, scaled: bool = True):
+    """Vectorize a symmetric matrix into the svec layout used by Cone.PSD."""
+    d = X.shape[-1]
+    rows, cols = [], []
+    for j in range(d):
+        for i in range(j, d):
+            rows.append(i)
+            cols.append(j)
+    v = X[..., np.array(rows), np.array(cols)]
+    if scaled:
+        off = np.array(rows) != np.array(cols)
+        v = v * jnp.where(jnp.asarray(off), _SQRT2, 1.0).astype(X.dtype)
+    return v
+
+
+def smat(v, scaled: bool = True):
+    """Inverse of :func:`svec`."""
+    L = v.shape[-1]
+    d = psd_side_from_len(L)
+    rows, cols = [], []
+    for j in range(d):
+        for i in range(j, d):
+            rows.append(i)
+            cols.append(j)
+    rows = np.array(rows)
+    cols = np.array(cols)
+    tri = v
+    if scaled:
+        off = rows != cols
+        tri = v * jnp.where(jnp.asarray(off), 1.0 / _SQRT2, 1.0).astype(v.dtype)
+    X = jnp.zeros((*v.shape[:-1], d, d), dtype=v.dtype)
+    X = X.at[..., rows, cols].set(tri)
+    X = X.at[..., cols, rows].set(tri)
+    return X

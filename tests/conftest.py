@@ -1,0 +1,28 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices (for sharding tests) and x64 enabled,
+per the multi-chip test strategy in SURVEY.md §4: sharded paths must agree
+with the single-chip path on a `xla_force_host_platform_device_count` mesh.
+"""
+
+import os
+
+# NOTE: jax is pre-imported at interpreter startup in this image, so plain
+# env-var configuration is too late here; use jax.config.update instead.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("FOS_TPU_X64", "1")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

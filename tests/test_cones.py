@@ -1,0 +1,229 @@
+"""Cone projection oracle tests.
+
+Mirrors the reference test strategy (SURVEY.md §4): every projection is
+checked against a dense/numpy oracle, plus the Moreau identity
+``v = P_K(v) + P_{K*}(-(-v))``-style decompositions the reference relies on
+(src/cones.jl:80-85).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from fos_tpu.cones import (
+    Cone,
+    ConeSpec,
+    exp_primal,
+    exp_dual,
+    free,
+    nonneg,
+    nonpos,
+    project,
+    project_dual,
+    psd,
+    rotated_soc,
+    smat,
+    soc,
+    svec,
+    zero,
+)
+from fos_tpu.cones.exp import project_exp_single
+
+
+def np_soc(v):
+    t, x = v[0], v[1:]
+    nx = np.linalg.norm(x)
+    if nx <= t:
+        return v.copy()
+    if nx <= -t:
+        return np.zeros_like(v)
+    c = 0.5 * (t + nx)
+    out = np.concatenate([[c], c * x / nx])
+    return out
+
+
+def np_psd_svec(v):
+    # scaled svec -> matrix -> clamp eigs -> svec
+    L = len(v)
+    d = int(round((-1 + np.sqrt(1 + 8 * L)) / 2))
+    X = np.zeros((d, d))
+    k = 0
+    for j in range(d):
+        for i in range(j, d):
+            val = v[k] if i == j else v[k] / np.sqrt(2)
+            X[i, j] = X[j, i] = val
+            k += 1
+    w, V = np.linalg.eigh(X)
+    Xp = (V * np.maximum(w, 0)) @ V.T
+    out = []
+    for j in range(d):
+        for i in range(j, d):
+            out.append(Xp[i, j] if i == j else np.sqrt(2) * Xp[i, j])
+    return np.array(out)
+
+
+def test_elementwise(rng):
+    spec = ConeSpec.concat([free(3), zero(4), nonneg(5), nonpos(2)])
+    x = rng.standard_normal(spec.dim)
+    y = np.asarray(project(spec, jnp.asarray(x)))
+    expect = np.concatenate(
+        [x[:3], np.zeros(4), np.maximum(x[3 + 4 :][:5], 0), np.minimum(x[-2:], 0)]
+    )
+    np.testing.assert_allclose(y, expect, atol=1e-14)
+
+
+def test_soc_blocks(rng):
+    spec = ConeSpec(((Cone.SOC, 4), (Cone.NONNEG, 3), (Cone.SOC, 7)))
+    x = rng.standard_normal(spec.dim)
+    y = np.asarray(project(spec, jnp.asarray(x)))
+    np.testing.assert_allclose(y[:4], np_soc(x[:4]), atol=1e-13)
+    np.testing.assert_allclose(y[4:7], np.maximum(x[4:7], 0), atol=1e-14)
+    np.testing.assert_allclose(y[7:], np_soc(x[7:]), atol=1e-13)
+
+
+def test_soc_cases():
+    # inside, polar, boundary scaling
+    inside = np.array([2.0, 1.0, 1.0])
+    np.testing.assert_allclose(
+        np.asarray(project(soc(3), jnp.asarray(inside))), inside, atol=1e-14
+    )
+    polar = np.array([-2.0, 1.0, 0.5])
+    np.testing.assert_allclose(
+        np.asarray(project(soc(3), jnp.asarray(polar))), np.zeros(3), atol=1e-14
+    )
+    outside = np.array([0.0, 3.0, 4.0])
+    np.testing.assert_allclose(
+        np.asarray(project(soc(3), jnp.asarray(outside))), np_soc(outside), atol=1e-13
+    )
+
+
+def test_rotated_soc(rng):
+    spec = rotated_soc(6)
+    for _ in range(50):
+        x = rng.standard_normal(6) * 3
+        y = np.asarray(project(spec, jnp.asarray(x)))
+        # membership: 2*p*q >= ||x||^2, p, q >= 0
+        p, q, tail = y[0], y[1], y[2:]
+        assert p >= -1e-12 and q >= -1e-12
+        assert 2 * p * q - np.dot(tail, tail) >= -1e-10
+        # idempotency
+        y2 = np.asarray(project(spec, jnp.asarray(y)))
+        np.testing.assert_allclose(y2, y, atol=1e-10)
+        # oracle via explicit rotation to standard SOC
+        H = np.eye(6)
+        H[:2, :2] = np.array([[1, 1], [1, -1]]) / np.sqrt(2)
+        yr = H @ np_soc(H @ x)
+        np.testing.assert_allclose(y, yr, atol=1e-12)
+
+
+def test_psd(rng):
+    spec = psd(5)
+    x = rng.standard_normal(spec.dim)
+    y = np.asarray(project(spec, jnp.asarray(x)))
+    np.testing.assert_allclose(y, np_psd_svec(x), atol=1e-11)
+    # mixed sizes
+    spec2 = ConeSpec.concat([psd(2), psd(3), psd(2)])
+    x2 = rng.standard_normal(spec2.dim)
+    y2 = np.asarray(project(spec2, jnp.asarray(x2)))
+    np.testing.assert_allclose(y2[:3], np_psd_svec(x2[:3]), atol=1e-11)
+    np.testing.assert_allclose(y2[3:9], np_psd_svec(x2[3:9]), atol=1e-11)
+    np.testing.assert_allclose(y2[9:], np_psd_svec(x2[9:]), atol=1e-11)
+
+
+def test_svec_smat_roundtrip(rng):
+    A = rng.standard_normal((4, 4))
+    X = A + A.T
+    v = svec(jnp.asarray(X))
+    np.testing.assert_allclose(np.asarray(smat(v)), X, atol=1e-13)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(v)), np.linalg.norm(X), atol=1e-12)
+
+
+def _np_proj_exp_oracle(v):
+    """Projection onto Kexp by dense sampling + scipy refinement."""
+    from scipy.optimize import minimize
+
+    def obj(p):
+        return 0.5 * np.sum((p - v) ** 2)
+
+    # parameterize boundary/interior via (x, y) with z free, constraint
+    # y*exp(x/y) <= z, y >= 0.  Use slack formulation with soft constraint.
+    best = None
+    cands = []
+    # candidate: v itself if in cone
+    x, y, z = v
+    if (y > 0 and y * np.exp(x / y) <= z + 1e-12) or (y == 0 and x <= 0 and z >= 0):
+        return v.copy()
+    # candidate: ray points
+    cands.append(np.array([min(x, 0.0), 0.0, max(z, 0.0)]))
+    # optimize over boundary: p = (a*s, s, s*exp(a)), s>0
+    for a0 in np.linspace(-4, 4, 9):
+        for s0 in [0.1, 1.0]:
+            res = minimize(
+                lambda w: obj(np.array([w[0] * np.exp(w[1]), np.exp(w[1]), np.exp(w[1]) * np.exp(w[0])])),
+                np.array([a0, np.log(s0)]),
+                method="Nelder-Mead",
+                options={"xatol": 1e-12, "fatol": 1e-16, "maxiter": 2000},
+            )
+            a, ls = res.x
+            s = np.exp(ls)
+            cands.append(np.array([a * s, s, s * np.exp(a)]))
+    cands.append(np.zeros(3))
+    for c in cands:
+        if best is None or obj(c) < obj(best):
+            best = c
+    return best
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_exp_cone_random(seed):
+    rng = np.random.default_rng(seed)
+    for _ in range(12):
+        v = rng.standard_normal(3) * 2
+        y = np.asarray(project_exp_single(jnp.asarray(v)))
+        oracle = _np_proj_exp_oracle(v)
+        d_ours = 0.5 * np.sum((y - v) ** 2)
+        d_oracle = 0.5 * np.sum((oracle - v) ** 2)
+        # ours must be at least as close as the sampled oracle, and feasible
+        x, yy, z = y
+        if yy > 1e-10:
+            assert yy * np.exp(x / yy) <= z + 1e-8 * max(1, abs(z))
+        else:
+            assert x <= 1e-8 and z >= -1e-10 and yy >= -1e-12
+        assert d_ours <= d_oracle + 1e-6
+
+
+def test_exp_cone_moreau(rng):
+    # Moreau decomposition: v = P_K(v) - P_{K*}(-v), <P_K(v), P_{K*}(-v)> = 0
+    for _ in range(50):
+        v = rng.standard_normal(3) * 3
+        p = np.asarray(project(exp_primal(), jnp.asarray(v)))
+        pd = np.asarray(project(exp_dual(), jnp.asarray(-v)))
+        np.testing.assert_allclose(p - pd, v, atol=1e-7)
+        assert abs(np.dot(p, pd)) < 1e-7
+
+
+def test_dual_spec():
+    spec = ConeSpec.concat([free(2), zero(3), nonneg(4), soc(5)])
+    d = spec.dual()
+    assert d.blocks == ((Cone.ZERO, 2), (Cone.FREE, 3), (Cone.NONNEG, 4), (Cone.SOC, 5))
+
+
+def test_project_dual_moreau(rng):
+    # P_{K*}(x) == x + P_K(-x) for a mixed product
+    spec = ConeSpec.concat([zero(2), nonneg(3), soc(4), psd(3)])
+    for _ in range(10):
+        x = rng.standard_normal(spec.dim)
+        lhs = np.asarray(project_dual(spec, jnp.asarray(x)))
+        rhs = x + np.asarray(project(spec, jnp.asarray(-x)))
+        np.testing.assert_allclose(lhs, rhs, atol=1e-10)
+
+
+def test_batched_projection(rng):
+    spec = ConeSpec.concat([nonneg(3), soc(4)])
+    X = rng.standard_normal((6, spec.dim))
+    Y = np.asarray(project(spec, jnp.asarray(X)))
+    for i in range(6):
+        np.testing.assert_allclose(
+            Y[i], np.asarray(project(spec, jnp.asarray(X[i]))), atol=1e-13
+        )
