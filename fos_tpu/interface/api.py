@@ -1,0 +1,47 @@
+"""Public solver API.
+
+Replaces the reference's MathProgBase plumbing
+(/root/reference/src/FOSSolverInterface.jl): problems are stated directly
+as ``(A, b, c, K1, K2)`` conic data (or a :class:`Feasibility` problem) and
+solved with an algorithm config.
+
+    sol = solve(A, b, c, K1=zero(m), K2=nonneg(n), alg=DR(), eps=1e-8)
+
+Options (max_iters / eps / checki / verbose / debug / initx) follow the
+reference defaults (solverwrapper.jl:4-10); kwargs passed to ``solve``
+override options stored on the algorithm (Feasibility.jl:33-36).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax.numpy as jnp
+
+from fos_tpu.cones.spec import ConeSpec
+from fos_tpu.problems.conic import ConicProblem, conic_problem
+from fos_tpu.problems.hsde import HSDEForm, Solution, populate_solution
+from fos_tpu.solvers import engine
+from fos_tpu.solvers.base import GAP, DR
+
+
+def solve(A=None, b=None, c=None, K1: ConeSpec = None, K2: ConeSpec = None,
+          alg=None, problem: ConicProblem = None, initx=None, **options) -> Solution:
+    """Solve ``min c'x s.t. Ax + s = b, s in K1, x in K2`` via the HSDE."""
+    t0 = time.time()
+    if problem is None:
+        problem = conic_problem(A, b, c, K1, K2)
+    if alg is None:
+        alg = DR()
+    opts = dict(alg.options)
+    opts.update(options)
+    form = HSDEForm.build(
+        problem,
+        direct=getattr(alg, "direct", False),
+        cg_max_iters=int(opts.pop("cg_max_iters", 1000)),
+    )
+    init_duration = time.time() - t0
+    if initx is not None:
+        initx = jnp.asarray(initx, dtype=form.dtype)
+    res = engine.run(form, alg, initx=initx, init_duration=init_duration, **opts)
+    return populate_solution(form, res.guess, res.status, res.iters, res.history)

@@ -1,0 +1,6 @@
+from fos_tpu.linalg.cg import CGResult, CGState, conjugate_gradient  # noqa: F401
+from fos_tpu.linalg import hsde_ops  # noqa: F401
+from fos_tpu.linalg.affine import (  # noqa: F401
+    AffinePlusLinearProjector,
+    HSDEAffineProjector,
+)

@@ -1,0 +1,198 @@
+"""Affine-subspace projectors (the S1 sets of the solvers).
+
+These are the TPU-native equivalents of the reference's two S1 back ends:
+
+* indirect — warm-started CG with the decreasing-accuracy schedule
+  (affinepluslinear.jl:83-126, HSDEAffine.jl:105-126), here on SPD
+  reductions (see :mod:`fos_tpu.linalg.hsde_ops`);
+* direct — the reference caches a QR factorization inside ProximalOperators'
+  ``IndAffine`` (HSDE.jl:15); here we cache the explicit SPD inverse so each
+  projection is a single GEMV/GEMM that runs on the MXU and broadcasts over
+  batched instances.
+
+Projector classes are registered pytrees: their arrays travel through
+``jit``/``vmap``/``pjit`` as ordinary inputs, and all mutable reference
+state (warm starts, call counters, cg telemetry — ``CGdata``/``S.i``/
+``S.cgiter`` in the reference) lives in an explicit :class:`CGState` carried
+in the solver state.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from fos_tpu.linalg import hsde_ops
+from fos_tpu.linalg.cg import CGState, conjugate_gradient, decreasing_tolerance
+
+
+@jax.tree_util.register_pytree_node_class
+class HSDEAffineProjector:
+    """Projection onto ``{(u, v) : Q u = v}`` for the HSDE operator Q.
+
+    Replaces ``prox!(y, ::HSDEMatrix, x)`` (HSDEAffine.jl:105-126) and the
+    direct ``IndAffine([Q -I])`` path (HSDE.jl:15).
+    """
+
+    def __init__(self, A, b, c, inv=None, *, direct=False, decreasing_accuracy=True,
+                 cg_max_iters=1000):
+        self.A = A
+        self.b = b
+        self.c = c
+        self.inv = inv
+        self.direct = direct
+        self.decreasing_accuracy = decreasing_accuracy
+        self.cg_max_iters = cg_max_iters
+
+    # -- pytree protocol --------------------------------------------------
+    def tree_flatten(self):
+        return (self.A, self.b, self.c, self.inv), (
+            self.direct,
+            self.decreasing_accuracy,
+            self.cg_max_iters,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        A, b, c, inv = children
+        direct, decreasing, cg_max = aux
+        return cls(A, b, c, inv, direct=direct, decreasing_accuracy=decreasing,
+                   cg_max_iters=cg_max)
+
+    # ---------------------------------------------------------------------
+    @classmethod
+    def create(cls, A, b, c, *, direct=False, decreasing_accuracy=True,
+               cg_max_iters=1000):
+        inv = None
+        if direct:
+            Qd = hsde_ops.q_dense(A, b, c)
+            l = Qd.shape[0]
+            inv = jnp.linalg.inv(jnp.eye(l, dtype=Qd.dtype) + Qd.T @ Qd)
+        return cls(A, b, c, inv, direct=direct,
+                   decreasing_accuracy=decreasing_accuracy, cg_max_iters=cg_max_iters)
+
+    @property
+    def l(self) -> int:
+        return self.b.shape[0] + self.c.shape[0] + 1
+
+    @property
+    def dim(self) -> int:
+        return 2 * self.l
+
+    def init_cg_state(self, dtype) -> CGState:
+        return CGState.create(self.l, dtype)
+
+    init_state = init_cg_state  # set-protocol alias (solvers.base.TwoSets)
+
+    def project(self, z, cg: CGState):
+        l = self.l
+        u0 = z[:l]
+        v0 = z[l:]
+        # rhs = u0 + Q' v0 = u0 - Q v0 (skew-symmetry)
+        rhs = u0 - hsde_ops.q_mul(self.A, self.b, self.c, v0)
+        if self.direct:
+            u = self.inv @ rhs
+            new_cg = CGState(cg.warm, cg.initialized, cg.call_idx + 1,
+                             jnp.asarray(0, jnp.int32))
+        else:
+            warm = jnp.where(cg.initialized, cg.warm, u0)
+            floor = 2 * l * jnp.finfo(z.dtype).eps
+            if self.decreasing_accuracy:
+                tol = decreasing_tolerance(cg.call_idx, floor, z.dtype)
+            else:
+                tol = jnp.asarray(floor, z.dtype)
+            res = conjugate_gradient(
+                lambda x: hsde_ops.hsde_normal_mul(self.A, self.b, self.c, x),
+                rhs, warm, tol=tol, max_iters=self.cg_max_iters,
+            )
+            u = res.x
+            new_cg = CGState(u, jnp.asarray(True), cg.call_idx + 1, res.iters)
+        v = hsde_ops.q_mul(self.A, self.b, self.c, u)
+        return jnp.concatenate([u, v]), new_cg
+
+
+@jax.tree_util.register_pytree_node_class
+class AffinePlusLinearProjector:
+    """Prox of ``f([x; z]) = q'x + ind(Ax - beta*z = b)`` with ``beta = ±1``.
+
+    Reference: ``AffinePlusLinear`` (affinepluslinear.jl:58-126).  Solved via
+    the m x m SPD system ``(I + AA') lam = A(x1 - q) - beta*x2 - b`` with
+    ``y1 = x1 - q - A'lam`` and ``y2 = x2 + beta*lam``.
+    """
+
+    def __init__(self, A, b, q, beta: int, inv=None, *, direct=False,
+                 decreasing_accuracy=False, cg_max_iters=1000):
+        assert beta in (1, -1)
+        self.A = A
+        self.b = b
+        self.q = q
+        self.beta = beta
+        self.inv = inv
+        self.direct = direct
+        self.decreasing_accuracy = decreasing_accuracy
+        self.cg_max_iters = cg_max_iters
+
+    def tree_flatten(self):
+        return (self.A, self.b, self.q, self.inv), (
+            self.beta, self.direct, self.decreasing_accuracy, self.cg_max_iters)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        A, b, q, inv = children
+        beta, direct, decreasing, cg_max = aux
+        return cls(A, b, q, beta, inv, direct=direct,
+                   decreasing_accuracy=decreasing, cg_max_iters=cg_max)
+
+    @classmethod
+    def create(cls, A, b, q, beta, *, direct=False, decreasing_accuracy=False,
+               cg_max_iters=1000):
+        inv = None
+        if direct:
+            Ad = A.todense() if hasattr(A, "todense") else A
+            m = Ad.shape[0]
+            inv = jnp.linalg.inv(jnp.eye(m, dtype=Ad.dtype) + Ad @ Ad.T)
+        return cls(A, b, q, beta, inv, direct=direct,
+                   decreasing_accuracy=decreasing_accuracy, cg_max_iters=cg_max_iters)
+
+    @property
+    def m(self) -> int:
+        return self.b.shape[0]
+
+    @property
+    def n(self) -> int:
+        return self.q.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.m + self.n
+
+    def init_cg_state(self, dtype) -> CGState:
+        return CGState.create(self.m, dtype)
+
+    init_state = init_cg_state  # set-protocol alias (solvers.base.TwoSets)
+
+    def project(self, x, cg: CGState):
+        n = self.n
+        x1 = x[:n]
+        x2 = x[n:]
+        rhs = hsde_ops.mv(self.A, x1 - self.q) - self.beta * x2 - self.b
+        if self.direct:
+            lam = self.inv @ rhs
+            new_cg = CGState(cg.warm, cg.initialized, cg.call_idx + 1,
+                             jnp.asarray(0, jnp.int32))
+        else:
+            warm = jnp.where(cg.initialized, cg.warm, jnp.zeros_like(rhs))
+            floor = (self.m + self.n) * jnp.finfo(x.dtype).eps
+            if self.decreasing_accuracy:
+                tol = decreasing_tolerance(cg.call_idx, floor, x.dtype)
+            else:
+                tol = jnp.asarray(floor, x.dtype)
+            res = conjugate_gradient(
+                lambda lam: hsde_ops.kkt_normal_mul(self.A, lam),
+                rhs, warm, tol=tol, max_iters=self.cg_max_iters,
+            )
+            lam = res.x
+            new_cg = CGState(lam, jnp.asarray(True), cg.call_idx + 1, res.iters)
+        y1 = x1 - self.q - hsde_ops.rmv(self.A, lam)
+        y2 = x2 + self.beta * lam
+        return jnp.concatenate([y1, y2]), new_cg

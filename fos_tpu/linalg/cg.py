@@ -1,0 +1,97 @@
+"""Conjugate gradients as a compiled ``lax.while_loop``.
+
+TPU-native counterpart of the reference's preallocated, warm-started CG
+(/root/reference/src/utilities/conjugategradients.jl:31-55, Golub & Van Loan
+form).  Differences by design:
+
+* the loop is a ``lax.while_loop`` — no host round-trips, usable inside an
+  outer jitted solver loop and under ``vmap``/``pjit``;
+* warm-start state is an explicit immutable :class:`CGState` pytree threaded
+  through the solver state instead of mutable ``CGdata`` buffers
+  (conjugategradients.jl:1-11);
+* the two dot products per iteration are ``jnp.vdot`` calls, which XLA/GSPMD
+  turns into ``psum``-reduced partial dots when the vectors are sharded
+  (SURVEY.md §5 "Distributed communication backend").
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class CGResult(NamedTuple):
+    x: jnp.ndarray
+    iters: jnp.ndarray      # int32 — matches the reference's returned iter count
+    rnorm: jnp.ndarray      # final residual norm
+
+
+class CGState(NamedTuple):
+    """Warm-start state carried between prox calls.
+
+    Mirrors the role of ``CGdata.xinit``/``firstrun``
+    (conjugategradients.jl:1-11, affinepluslinear.jl:100-122).
+    ``call_idx`` counts prox invocations and drives the decreasing-accuracy
+    tolerance schedule (affinepluslinear.jl:108-112); ``last_iters`` is the
+    ``cgiter`` telemetry surfaced in the status table (HSDEStatus.jl:45-47).
+    """
+
+    warm: jnp.ndarray
+    initialized: jnp.ndarray   # bool scalar
+    call_idx: jnp.ndarray      # int32, starts at 1 like the reference's S.i
+    last_iters: jnp.ndarray    # int32
+
+    @staticmethod
+    def create(size: int, dtype) -> "CGState":
+        return CGState(
+            warm=jnp.zeros(size, dtype=dtype),
+            initialized=jnp.asarray(False),
+            call_idx=jnp.asarray(1, jnp.int32),
+            last_iters=jnp.asarray(0, jnp.int32),
+        )
+
+
+def conjugate_gradient(
+    matvec: Callable[[jnp.ndarray], jnp.ndarray],
+    b: jnp.ndarray,
+    x0: jnp.ndarray,
+    *,
+    tol,
+    max_iters: int,
+) -> CGResult:
+    """Solve ``matvec(x) == b`` from warm start ``x0``.
+
+    Semantics match conjugategradients.jl:31-55: absolute tolerance on
+    ``||r||``, iteration count returned.
+    """
+
+    r0 = b - matvec(x0)
+    rn0 = jnp.vdot(r0, r0)
+    tol2 = jnp.asarray(tol, b.dtype) ** 2
+
+    def cond(state):
+        _, _, _, rn, it = state
+        return (rn > tol2) & (it < max_iters)
+
+    def body(state):
+        x, r, p, rn, it = state
+        Ap = matvec(p)
+        alpha = rn / jnp.vdot(Ap, p)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rn_new = jnp.vdot(r, r)
+        beta = rn_new / rn
+        p = r + beta * p
+        return (x, r, p, rn_new, it + 1)
+
+    x, _, _, rn, iters = jax.lax.while_loop(cond, body, (x0, r0, r0, rn0, jnp.asarray(0, jnp.int32)))
+    return CGResult(x=x, iters=iters, rnorm=jnp.sqrt(rn))
+
+
+def decreasing_tolerance(call_idx, floor, dtype):
+    """The reference's decreasing-accuracy schedule ``max(0.2^sqrt(i), floor)``
+    (affinepluslinear.jl:108-112)."""
+    i = call_idx.astype(dtype)
+    return jnp.maximum(jnp.asarray(0.2, dtype) ** jnp.sqrt(i), jnp.asarray(floor, dtype))

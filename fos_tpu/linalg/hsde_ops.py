@@ -1,0 +1,80 @@
+"""Matrix-free operators for the homogeneous self-dual embedding.
+
+The HSDE matrix (HSDEAffine.jl:2-65 in the reference)
+
+    Q = [ 0    A'   c ]
+        [-A    0    b ]
+        [-c'  -b'   0 ]
+
+is skew-symmetric (Q' = -Q); one application costs one ``A`` matvec, one
+``A'`` matvec and rank-1 ``b``/``c`` terms.
+
+TPU-native redesign of the affine projection: instead of running CG on the
+reference's 2l x 2l symmetric-indefinite system ``[I Q'; Q -I]``
+(HSDEAffine.jl:105-126), project onto ``{(u,v): Qu = v}`` by solving the
+l x l SPD system
+
+    (I + Q'Q) u = u0 + Q' v0        (= u0 - Q v0 by skewness)
+
+and setting ``v = Q u``.  Same two-projections-per-iteration semantics,
+half the CG state, an SPD operator (plain CG is actually guaranteed to
+converge, unlike on the indefinite form), and the matvec is two fused Q
+applications that XLA maps onto the MXU for dense ``A``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from jax.experimental import sparse as jsparse
+
+
+def mv(A, x):
+    """A @ x for dense or BCOO A."""
+    return A @ x
+
+
+def rmv(A, y):
+    """A' @ y for dense or BCOO A."""
+    if isinstance(A, jsparse.BCOO):
+        return A.T @ y
+    return A.T @ y
+
+
+def q_mul(A, b, c, z):
+    """Q @ z, matrix-free (one A-matvec + one A'-matvec + rank-1 terms).
+
+    Mirrors the lazy ``mul!`` at HSDEAffine.jl:41-59.
+    """
+    n = c.shape[0]
+    m = b.shape[0]
+    z1 = z[:n]
+    z2 = z[n : n + m]
+    z3 = z[n + m]
+    y1 = rmv(A, z2) + c * z3
+    y2 = -mv(A, z1) + b * z3
+    y3 = -jnp.vdot(c, z1) - jnp.vdot(b, z2)
+    return jnp.concatenate([y1, y2, y3[None]])
+
+
+def q_dense(A, b, c):
+    """Materialize Q (for direct mode and test oracles)."""
+    if isinstance(A, jsparse.BCOO):
+        A = A.todense()
+    n = c.shape[0]
+    m = b.shape[0]
+    top = jnp.concatenate([jnp.zeros((n, n), A.dtype), A.T, c[:, None]], axis=1)
+    mid = jnp.concatenate([-A, jnp.zeros((m, m), A.dtype), b[:, None]], axis=1)
+    bot = jnp.concatenate([-c[None, :], -b[None, :], jnp.zeros((1, 1), A.dtype)], axis=1)
+    return jnp.concatenate([top, mid, bot], axis=0)
+
+
+def hsde_normal_mul(A, b, c, u):
+    """(I + Q'Q) u = u - Q(Q u), using the skew-symmetry of Q."""
+    return u - q_mul(A, b, c, q_mul(A, b, c, u))
+
+
+def kkt_normal_mul(A, lam):
+    """(I + A A') lam — SPD reduction of the reference's ``[I A'; A -I]``
+    KKT operator (affinepluslinear.jl:4-52)."""
+    return lam + mv(A, rmv(A, lam))

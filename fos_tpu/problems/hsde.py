@@ -1,0 +1,234 @@
+"""Homogeneous self-dual embedding of a conic program.
+
+Reference: /root/reference/src/problemforms/HSDE/HSDE.jl (embedding),
+HSDEStatus.jl (SCS-style termination).  The iterate is
+``z = (u, v) in R^{2l}``, ``l = n + m + 1`` with ``u = (x, y, tau)`` and
+``v = (r, s, kappa)``:
+
+* S1 is the affine set ``{(u,v): Qu = v}`` projected by
+  :class:`fos_tpu.linalg.affine.HSDEAffineProjector` (SPD-CG or cached
+  direct inverse);
+* S2 is the cone product ``K2 x K1* x R+  x  K2* x K1 x R+``
+  (``DualConeProduct``, src/cones.jl:113-142) compiled into ONE fused
+  projection over the whole 2l vector;
+* termination residuals p/d/g and the unbounded/infeasible certificates are
+  computed on-device from views into z (HSDEStatus.jl:27-71, 93-102).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from fos_tpu.cones.spec import ConeSpec
+from fos_tpu.cones import nonneg
+from fos_tpu.linalg.affine import HSDEAffineProjector
+from fos_tpu.linalg import hsde_ops
+from fos_tpu.problems.conic import ConicProblem
+from fos_tpu.solvers.base import ConeSet, TwoSets
+from fos_tpu.solvers.status import Status
+
+
+def hsde_cone_spec(K1: ConeSpec, K2: ConeSpec) -> ConeSpec:
+    """The S2 product over z: K2 × K1* × R+ × K2* × K1 × R+
+    (cones.jl:122-142: yx=P_K2, yy=P_K1*, tau=max(.,0), yr=P_K2*, ys=P_K1,
+    kappa=max(.,0))."""
+    return ConeSpec.concat([K2, K1.dual(), nonneg(1), K2.dual(), K1, nonneg(1)])
+
+
+class HSDECheck(NamedTuple):
+    """On-device convergence-check scalars (one status-table row)."""
+
+    status: jnp.ndarray  # int32 Status code
+    p: jnp.ndarray
+    d: jnp.ndarray
+    g: jnp.ndarray
+    ctx: jnp.ndarray
+    bty: jnp.ndarray
+    tau: jnp.ndarray
+    kappa: jnp.ndarray
+
+
+@jax.tree_util.register_pytree_node_class
+class HSDEForm:
+    """Problem form driving the generic iteration engine."""
+
+    def __init__(self, sets: TwoSets, A, b, c, norm_b, norm_c, n: int, m: int):
+        self.sets = sets
+        self.A = A
+        self.b = b
+        self.c = c
+        self.norm_b = norm_b
+        self.norm_c = norm_c
+        self.n = n
+        self.m = m
+
+    def tree_flatten(self):
+        return (self.sets, self.A, self.b, self.c, self.norm_b, self.norm_c), (
+            self.n,
+            self.m,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def build(cls, problem: ConicProblem, *, direct: bool = False,
+              cg_max_iters: int = 1000) -> "HSDEForm":
+        s1 = HSDEAffineProjector.create(
+            problem.A, problem.b, problem.c,
+            direct=direct, decreasing_accuracy=not direct,
+            cg_max_iters=cg_max_iters,
+        )
+        s2 = ConeSet(hsde_cone_spec(problem.K1, problem.K2))
+        assert s2.spec.dim == 2 * s1.l
+        return cls(
+            TwoSets(s1, s2), problem.A, problem.b, problem.c,
+            jnp.linalg.norm(problem.b), jnp.linalg.norm(problem.c),
+            problem.n, problem.m,
+        )
+
+    @property
+    def l(self) -> int:
+        return self.n + self.m + 1
+
+    @property
+    def dim(self) -> int:
+        return 2 * self.l
+
+    def initial_value(self, dtype):
+        """tau = kappa = 1, everything else 0 (HSDE.jl:40-47)."""
+        z = jnp.zeros(self.dim, dtype=dtype)
+        z = z.at[self.l - 1].set(1.0)
+        z = z.at[2 * self.l - 1].set(1.0)
+        return z
+
+    def split(self, z):
+        n, m, l = self.n, self.m, self.l
+        x = z[:n]
+        y = z[n : n + m]
+        tau = z[l - 1]
+        r = z[l : l + n]
+        s = z[l + n : l + n + m]
+        kappa = z[2 * l - 1]
+        return x, y, tau, r, s, kappa
+
+    @property
+    def dtype(self):
+        return self.b.dtype
+
+    @property
+    def direct(self) -> bool:
+        return self.sets.s1.direct
+
+    def check(self, z, eps: float, prev=None) -> HSDECheck:
+        """SCS-style residual check (HSDEStatus.jl:27-71), fully on-device.
+
+        Replicates the reference arithmetic exactly, including its
+        normalize-twice quirk: the displayed residual is
+        ``||.|| / (1 + ||b||)`` while the optimality test re-multiplies the
+        tolerance by ``(1 + ||b||)``.
+        """
+        x, y, tau, r, s, kappa = self.split(z)
+        A, b, c = self.A, self.b, self.c
+        nb, nc = self.norm_b, self.norm_c
+        Ax = hsde_ops.mv(A, x)
+        ATy = hsde_ops.rmv(A, y)
+        p_num = jnp.linalg.norm(Ax / tau + s / tau - b)
+        d_num = jnp.linalg.norm(ATy / tau + c - r / tau)
+        ctx = jnp.vdot(c, x)
+        bty = jnp.vdot(b, y)
+        p = p_num / (1.0 + nb)
+        d = d_num / (1.0 + nc)
+        gden = 1.0 + jnp.abs(ctx / tau) + jnp.abs(bty / tau)
+        g = jnp.abs(ctx / tau + bty / tau) / gden
+
+        optimal = (p <= eps * (1.0 + nb)) & (d <= eps * (1.0 + nc)) & (g <= eps * gden)
+        unbounded = jnp.linalg.norm(Ax + s) <= eps * (-ctx / nc)
+        infeasible = jnp.linalg.norm(ATy) <= eps * (-bty / nb)
+        status = jnp.where(
+            optimal,
+            Status.OPTIMAL,
+            jnp.where(
+                unbounded, Status.UNBOUNDED,
+                jnp.where(infeasible, Status.INFEASIBLE, Status.CONTINUE),
+            ),
+        ).astype(jnp.int32)
+        return HSDECheck(status, p, d, g, ctx, bty, tau, kappa)
+
+
+    # --- engine observability hooks (printing + history) ------------------
+    def header(self, init_duration_s: float) -> str:
+        from fos_tpu.utils import printing
+
+        return printing.hsde_header(init_duration_s, self.direct)
+
+    def _cgiter(self, st):
+        if self.direct:
+            return None
+        return int(st.s1_state.last_iters)
+
+    def row(self, st, chk: HSDECheck, i: int, t_s: float) -> str:
+        from fos_tpu.utils import printing
+
+        return printing.hsde_row(
+            i, float(chk.p), float(chk.d), float(chk.g), float(chk.ctx),
+            float(chk.bty), float(chk.kappa / chk.tau), t_s,
+            cgiter=self._cgiter(st),
+        )
+
+    def record(self, hist, st, chk: HSDECheck, i: int, t_s: float, debug: int):
+        """History rows (HSDEStatus.jl:125-139): p,d,g,ctx,bty,kappa,tau,t;
+        debug>1 additionally x,y,s."""
+        if hist is None or debug <= 0:
+            return
+        for key, val in (
+            ("p", chk.p), ("d", chk.d), ("g", chk.g), ("ctx", chk.ctx),
+            ("bty", chk.bty), ("kappa", chk.kappa), ("tau", chk.tau),
+        ):
+            hist.push(key, i, float(val))
+        hist.push("t", i, t_s)
+        if not self.direct:
+            hist.push("cgiter", i, int(st.s1_state.last_iters))
+        if debug > 1:
+            x, y, tau, r, s, kappa = self.split(st.z_check)
+            import numpy as np
+
+            hist.push("x", i, np.asarray(x / tau))
+            hist.push("y", i, np.asarray(y / tau))
+            hist.push("s", i, np.asarray(s / tau))
+
+
+class Solution(NamedTuple):
+    """Recovered conic solution (types.jl:6-11)."""
+
+    x: jnp.ndarray
+    y: jnp.ndarray
+    s: jnp.ndarray
+    status: str
+    objval: float
+    iters: int
+    history: object = None
+
+    @property
+    def optimal(self) -> bool:
+        return self.status == "Optimal"
+
+
+def populate_solution(form: HSDEForm, guess, status_code: int, iters: int,
+                      history=None) -> Solution:
+    """(x, y, s) = (u_x, u_y, v_s) / tau; :Continue -> :Indeterminate
+    (HSDE.jl:49-61)."""
+    x, y, tau, r, s, kappa = form.split(guess)
+    status = Status.name(status_code)
+    if status == "Continue":
+        status = "Indeterminate"
+    xs = x / tau
+    return Solution(
+        x=xs, y=y / tau, s=s / tau, status=status,
+        objval=float(jnp.vdot(form.c, xs)), iters=iters, history=history,
+    )

@@ -1,0 +1,360 @@
+"""Solver core: state pytree, set protocol, and the GAP algorithm family.
+
+Architecture (deliberately NOT the reference's mutating-decorator OO design,
+see SURVEY.md §7): an algorithm is a frozen config dataclass whose ``step``
+is a pure function ``SolverState -> SolverState`` suitable for
+``lax.fori_loop`` / ``lax.while_loop`` compilation.  All mutable reference
+state — iterates, CG warm starts, GAPA's adaptive alpha, FISTA's momentum,
+Dykstra's correction vectors (reference: src/solvers/*.jl ``*Data`` structs)
+— lives in the explicit :class:`SolverState` pytree.
+
+Every algorithm sees only two projectable sets S1, S2 — the same
+problem-form-agnostic contract as ``get_sets_and_status`` in the reference
+(src/FOSSolverInterface.jl:76-79, src/problemforms/Feasibility/
+Feasibility.jl:75-81): the same step code runs conic (HSDE) and feasibility
+problems.
+
+Set protocol: an object with ``init_state(dtype)`` and
+``project(x, state) -> (y, state)`` that is a registered pytree.  The
+post-S2-*projection* point of each step is carried as ``z_check`` — it is
+the point the reference runs its convergence check on (``checkstatus`` is
+called inside ``S2!`` right after ``prox!``, src/solvers/gap.jl:53-59).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fos_tpu.cones.spec import ConeSpec
+from fos_tpu.cones.project import project as cone_project
+
+
+class SolverState(NamedTuple):
+    x: jnp.ndarray
+    i: jnp.ndarray            # int32 iteration counter (1-based after first step)
+    z_check: jnp.ndarray      # post-S2-prox point of the latest step
+    z_check_prev: jnp.ndarray # same, one step earlier (feasibility residual)
+    s1_state: Any
+    s2_state: Any
+    aux: Any                  # per-algorithm carry
+
+
+@jax.tree_util.register_pytree_node_class
+class ConeSet:
+    """Stateless projectable set backed by a compiled cone projector."""
+
+    def __init__(self, spec: ConeSpec):
+        self.spec = spec
+
+    def tree_flatten(self):
+        return (), (self.spec,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux[0])
+
+    def init_state(self, dtype):
+        return ()
+
+    def project(self, x, state):
+        return cone_project(self.spec, x), state
+
+
+@jax.tree_util.register_pytree_node_class
+class TwoSets:
+    """The (S1, S2) pair handed to every algorithm."""
+
+    def __init__(self, s1, s2):
+        self.s1 = s1
+        self.s2 = s2
+
+    def tree_flatten(self):
+        return (self.s1, self.s2), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def init_solver_state(alg, sets: TwoSets, x0) -> SolverState:
+    return SolverState(
+        x=x0,
+        i=jnp.asarray(0, jnp.int32),
+        z_check=x0,
+        z_check_prev=x0,
+        s1_state=sets.s1.init_state(x0.dtype),
+        s2_state=sets.s2.init_state(x0.dtype),
+        aux=alg.init_aux(x0),
+    )
+
+
+@dataclass(frozen=True)
+class Algorithm:
+    """Base config; subclasses are hashable and usable as jit-static args."""
+
+    def init_aux(self, x0):
+        return ()
+
+    # --- relaxation coefficients (hook so GAPA can make them adaptive) ----
+    def coeffs(self, aux) -> Tuple[Any, Any]:
+        raise NotImplementedError
+
+    # --- S1!/S2! split used by GAP-family steps and the wrappers ----------
+    # (mirrors the reference's Fast line-search protocol, defaults.jl:8-21)
+    def relaxed_s1(self, sets: TwoSets, x, s1_state, aux):
+        a1, _ = self.coeffs(aux)
+        y, s1_state = sets.s1.project(x, s1_state)
+        return a1 * y + (1.0 - a1) * x, s1_state
+
+    def relaxed_s2(self, sets: TwoSets, x, s2_state, aux):
+        """Returns (prox_point, relaxed_point, state) — the prox point is the
+        convergence-check point (gap.jl:53-59)."""
+        _, a2 = self.coeffs(aux)
+        y, s2_state = sets.s2.project(x, s2_state)
+        return y, a2 * y + (1.0 - a2) * x, s2_state
+
+    def step(self, sets: TwoSets, st: SolverState) -> SolverState:
+        raise NotImplementedError
+
+    def getsol(self, sets: TwoSets, st: SolverState):
+        """Final solution guess ``P_S2(P_S1(x))`` (gap.jl:82-87)."""
+        y1, s1_state = sets.s1.project(st.x, st.s1_state)
+        y2, s2_state = sets.s2.project(y1, st.s2_state)
+        return y2, st._replace(s1_state=s1_state, s2_state=s2_state)
+
+    # --- capability traits (defaults.jl:2-30) -----------------------------
+    @property
+    def support_linesearch(self) -> bool:
+        return False
+
+    @property
+    def support_longstep(self) -> bool:
+        return False
+
+    # Subclasses declare an ``options`` field (kept last so positional
+    # construction matches the reference signatures).
+    def merge_options(self, **kwargs):
+        merged = dict(self.options)
+        merged.update(kwargs)
+        return merged
+
+
+def _gap_like_step(alg, sets, st, eq_capture=None, ineq_capture=None):
+    """The shared two-relaxed-projections step (gap.jl:61-80)."""
+    alpha = alg.alpha
+    tmp1, s1_state = alg.relaxed_s1(sets, st.x, st.s1_state, st.aux)
+    z, tmp2, s2_state = alg.relaxed_s2(sets, tmp1, st.s2_state, st.aux)
+    x_new = alpha * tmp2 + (1.0 - alpha) * st.x
+    return st._replace(
+        x=x_new,
+        i=st.i + 1,
+        z_check=z,
+        z_check_prev=st.z_check,
+        s1_state=s1_state,
+        s2_state=s2_state,
+    ), tmp1, tmp2
+
+
+@dataclass(frozen=True)
+class GAP(Algorithm):
+    """Generalized Alternating Projections (gap.jl:6-92).
+
+    ``x+ = (1-alpha) x + alpha * relax_{a2}(P_S2( relax_{a1}(P_S1(x)) ))``.
+    """
+
+    alpha: float = 0.8
+    alpha1: float = 1.8
+    alpha2: float = 1.8
+    direct: bool = False
+    options: Tuple[Tuple[str, Any], ...] = ()
+
+    def coeffs(self, aux):
+        return self.alpha1, self.alpha2
+
+    def step(self, sets, st):
+        st, _, _ = _gap_like_step(self, sets, st)
+        return st
+
+    @property
+    def support_linesearch(self):
+        return True
+
+    @property
+    def support_longstep(self):
+        return True
+
+
+def DR(alpha: float = 0.5, *, direct: bool = False, **kwargs) -> GAP:
+    """Douglas-Rachford = GAP(alpha, 2, 2) (solvers.jl:10)."""
+    return GAP(alpha, 2.0, 2.0, direct, tuple(kwargs.items()))
+
+
+def AP(alpha: float = 1.0, *, direct: bool = False, **kwargs) -> GAP:
+    """Alternating Projections = GAP(alpha, 1, 1) (solvers.jl:11)."""
+    return GAP(alpha, 1.0, 1.0, direct, tuple(kwargs.items()))
+
+
+@dataclass(frozen=True)
+class GAPA(Algorithm):
+    """Adaptive GAP (gapa.jl): alpha1 = alpha2 = a12 adapted from an estimate
+    of the Friedrichs angle between the sets.
+
+    a12 state is carried in ``aux``; update rule (gapa.jl:80-105):
+    ``scl = |<tmp2-tmp1, tmp1-x>| / (||tmp2-tmp1|| ||tmp1-x||)`` (NaN -> 0,
+    clamped to [0,1]), ``aopt = 2/(1+sqrt(1-scl^2))``,
+    ``a12 = (1-beta)*aopt + 2*beta``.
+    """
+
+    alpha: float = 1.0
+    beta: float = 0.0
+    direct: bool = False
+    options: Tuple[Tuple[str, Any], ...] = ()
+
+    def init_aux(self, x0):
+        return jnp.asarray(2.0, x0.dtype)
+
+    def coeffs(self, aux):
+        return aux, aux
+
+    def step(self, sets, st):
+        st2, tmp1, tmp2 = _gap_like_step(self, sets, st)
+        # Friedrichs angle estimate from (x, tmp1, tmp2) (gapa.jl:36-47)
+        d1 = tmp2 - tmp1
+        d2 = tmp1 - st.x
+        num = jnp.abs(jnp.vdot(d1, d2))
+        den = jnp.sqrt(jnp.vdot(d1, d1) * jnp.vdot(d2, d2))
+        scl = num / den
+        scl = jnp.where(jnp.isnan(scl), 0.0, jnp.clip(scl, 0.0, 1.0))
+        s = jnp.sqrt(1.0 - scl**2)
+        aopt = 2.0 / (1.0 + s)
+        a12 = (1.0 - self.beta) * aopt + 2.0 * self.beta
+        return st2._replace(aux=a12.astype(st.x.dtype))
+
+    @property
+    def support_linesearch(self):
+        return True
+
+    @property
+    def support_longstep(self):
+        return True
+
+
+@dataclass(frozen=True)
+class GAPP(Algorithm):
+    """Projected GAP (Fält & Giselsson 2016; gapproj.jl).
+
+    Every ``iproj`` iterations: compute the residual direction
+    ``res = P_S1(P_S2(P_S1 x)) - P_S1(x)`` and take the step
+    ``tmp1 + a* res`` with ``a*`` minimizing the S2 fixed-point residual over
+    the grid ``a = 2^k, k=0..20`` (evaluated as one batched projection
+    instead of the reference's sequential println loop, gapproj.jl:44-57).
+    """
+
+    alpha: float = 0.8
+    alpha1: float = 1.8
+    alpha2: float = 1.8
+    iproj: int = 100
+    direct: bool = True
+    options: Tuple[Tuple[str, Any], ...] = ()
+
+    def coeffs(self, aux):
+        return self.alpha1, self.alpha2
+
+    def step(self, sets, st):
+        def normal_branch(st):
+            st2, _, _ = _gap_like_step(self, sets, st)
+            return st2
+
+        def proj_branch(st):
+            a2 = self.alpha2
+            tmp1, s1_state = sets.s1.project(st.x, st.s1_state)
+            tmp2, s2_state = sets.s2.project(tmp1, st.s2_state)
+            p1, s1_state = sets.s1.project(tmp2, s1_state)
+            res = p1 - tmp1
+            alphas = 2.0 ** jnp.arange(21, dtype=st.x.dtype)
+            cands = tmp1[None, :] + alphas[:, None] * res[None, :]
+            projs, _ = sets.s2.project(cands, s2_state)
+            norms = jnp.linalg.norm(projs - cands, axis=-1)
+            abest = alphas[jnp.argmin(norms)]
+            t1 = tmp1 + abest * res
+            z, s2_state = sets.s2.project(t1, s2_state)
+            tmp2 = a2 * z + (1.0 - a2) * t1
+            return st._replace(
+                x=tmp2, i=st.i + 1, z_check=z, z_check_prev=st.z_check,
+                s1_state=s1_state, s2_state=s2_state,
+            )
+
+        do_proj = (st.i + 1) % self.iproj == 0
+        return jax.lax.cond(do_proj, proj_branch, normal_branch, st)
+
+
+@dataclass(frozen=True)
+class FISTA(Algorithm):
+    """FISTA-accelerated alternating projections (fista.jl).
+
+    aux = (t, y, x_old); ``t+ = (1+sqrt(1+4 t^2))/2``,
+    ``y = x + ((t-1)/t+) (x - x_old)``.
+    """
+
+    alpha: float = 1.0
+    direct: bool = False
+    options: Tuple[Tuple[str, Any], ...] = ()
+
+    def init_aux(self, x0):
+        # y initialized to x0 replaces the reference's i==1 hack (fista.jl:35-37)
+        return (jnp.asarray(1.0, x0.dtype), x0, jnp.zeros_like(x0))
+
+    def coeffs(self, aux):
+        return self.alpha, 1.0
+
+    def step(self, sets, st):
+        t, y, _ = st.aux
+        tmp1, s1_state = sets.s1.project(y, st.s1_state)
+        tmp1 = self.alpha * tmp1 + (1.0 - self.alpha) * y
+        x_new, s2_state = sets.s2.project(tmp1, st.s2_state)
+        t_new = (1.0 + jnp.sqrt(1.0 + 4.0 * t**2)) / 2.0
+        y_new = x_new + ((t - 1.0) / t_new) * (x_new - st.x)
+        return st._replace(
+            x=x_new, i=st.i + 1, z_check=x_new, z_check_prev=st.z_check,
+            s1_state=s1_state, s2_state=s2_state,
+            aux=(t_new, y_new, st.x),
+        )
+
+    @property
+    def support_longstep(self):
+        return True
+
+
+@dataclass(frozen=True)
+class Dykstra(Algorithm):
+    """Boyle–Dykstra alternating projections with correction vectors
+    (dykstra.jl:26-37): ``y = P_S1(x+p); p += x-y; x = P_S2(y+q); q += y-x``.
+    """
+
+    direct: bool = False
+    options: Tuple[Tuple[str, Any], ...] = ()
+
+    def init_aux(self, x0):
+        return (jnp.zeros_like(x0), jnp.zeros_like(x0))
+
+    def coeffs(self, aux):
+        return 1.0, 1.0
+
+    def step(self, sets, st):
+        p, q = st.aux
+        y, s1_state = sets.s1.project(st.x + p, st.s1_state)
+        p_new = st.x + p - y
+        x_new, s2_state = sets.s2.project(y + q, st.s2_state)
+        q_new = y + q - x_new
+        return st._replace(
+            x=x_new, i=st.i + 1, z_check=x_new, z_check_prev=st.z_check,
+            s1_state=s1_state, s2_state=s2_state, aux=(p_new, q_new),
+        )
+
+    @property
+    def support_longstep(self):
+        return True

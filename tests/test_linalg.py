@@ -1,0 +1,155 @@
+"""Linear-algebra kernel tests.
+
+Mirrors the reference oracle strategy (test/HSDEAffine.jl, test/conjugateGradient.jl,
+test/affinepluslinear.jl): matrix-free operators vs dense materializations,
+CG on a random SPD system, projections vs closed-form KKT solves.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fos_tpu.linalg import (
+    AffinePlusLinearProjector,
+    CGState,
+    HSDEAffineProjector,
+    conjugate_gradient,
+    hsde_ops,
+)
+
+
+def _problem(rng, m=17, n=11):
+    A = rng.standard_normal((m, n))
+    b = rng.standard_normal(m)
+    c = rng.standard_normal(n)
+    return jnp.asarray(A), jnp.asarray(b), jnp.asarray(c)
+
+
+def test_q_mul_vs_dense(rng):
+    A, b, c = _problem(rng)
+    Qd = np.asarray(hsde_ops.q_dense(A, b, c))
+    # skew-symmetry
+    np.testing.assert_allclose(Qd.T, -Qd, atol=1e-14)
+    z = rng.standard_normal(Qd.shape[0])
+    np.testing.assert_allclose(
+        np.asarray(hsde_ops.q_mul(A, b, c, jnp.asarray(z))), Qd @ z, atol=1e-12
+    )
+    # normal operator
+    M = np.eye(Qd.shape[0]) + Qd.T @ Qd
+    np.testing.assert_allclose(
+        np.asarray(hsde_ops.hsde_normal_mul(A, b, c, jnp.asarray(z))), M @ z, atol=1e-11
+    )
+
+
+def test_q_mul_sparse(rng):
+    from jax.experimental import sparse as jsparse
+
+    A, b, c = _problem(rng, 29, 13)
+    Asp = jsparse.BCOO.fromdense(A)
+    z = jnp.asarray(rng.standard_normal(29 + 13 + 1))
+    np.testing.assert_allclose(
+        np.asarray(hsde_ops.q_mul(Asp, b, c, z)),
+        np.asarray(hsde_ops.q_mul(A, b, c, z)),
+        atol=1e-12,
+    )
+
+
+def test_cg_spd_1000(rng):
+    # Reference: test/conjugateGradient.jl:20-33 — random SPD 1000x1000,
+    # residual < 1e-5 within 5000 iterations; warm start stays stable.
+    n = 1000
+    B = rng.standard_normal((n, n))
+    A = jnp.asarray(B @ B.T + n * np.eye(n))
+    xstar = jnp.asarray(rng.standard_normal(n))
+    b = A @ xstar
+    res = conjugate_gradient(lambda v: A @ v, b, jnp.zeros(n), tol=1e-5, max_iters=5000)
+    assert float(res.rnorm) < 1e-5
+    assert int(res.iters) < 5000
+    # warm start from a perturbed solution converges fast
+    x0 = xstar + 1e-6 * jnp.asarray(rng.standard_normal(n))
+    res2 = conjugate_gradient(lambda v: A @ v, b, x0, tol=1e-5, max_iters=5000)
+    assert float(res2.rnorm) < 1e-5
+    assert int(res2.iters) <= int(res.iters)
+
+
+def test_cg_zero_rhs():
+    res = conjugate_gradient(lambda v: v, jnp.zeros(5), jnp.zeros(5), tol=1e-10, max_iters=10)
+    assert int(res.iters) == 0
+    np.testing.assert_allclose(np.asarray(res.x), 0.0)
+
+
+def test_hsde_projection_oracle(rng):
+    # prox! on HSDEMatrix ≡ projection onto {(u,v): Qu=v}
+    # (reference oracle: test/HSDEAffine.jl:64-82)
+    A, b, c = _problem(rng)
+    l = A.shape[0] + A.shape[1] + 1
+    proj = HSDEAffineProjector.create(A, b, c, decreasing_accuracy=False)
+    z = jnp.asarray(rng.standard_normal(2 * l))
+    y, cg = proj.project(z, proj.init_cg_state(z.dtype))
+    Qd = np.asarray(hsde_ops.q_dense(A, b, c))
+    M = np.eye(l) + Qd.T @ Qd
+    u = np.linalg.solve(M, np.asarray(z[:l]) + Qd.T @ np.asarray(z[l:]))
+    expect = np.concatenate([u, Qd @ u])
+    np.testing.assert_allclose(np.asarray(y), expect, atol=1e-9)
+    # constraint satisfied exactly by construction: v = Q u
+    np.testing.assert_allclose(
+        np.asarray(hsde_ops.q_mul(A, b, c, y[:l])), np.asarray(y[l:]), atol=1e-12
+    )
+    # warm start: projecting the projection is a fixed point
+    y2, _ = proj.project(y, cg)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y), atol=1e-8)
+
+
+def test_hsde_projection_direct_matches_cg(rng):
+    A, b, c = _problem(rng, 8, 5)
+    l = 8 + 5 + 1
+    z = jnp.asarray(rng.standard_normal(2 * l))
+    p_cg = HSDEAffineProjector.create(A, b, c, decreasing_accuracy=False)
+    p_dir = HSDEAffineProjector.create(A, b, c, direct=True)
+    y1, _ = p_cg.project(z, p_cg.init_cg_state(z.dtype))
+    y2, _ = p_dir.project(z, p_dir.init_cg_state(z.dtype))
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-9)
+
+
+def test_affine_plus_linear_oracle(rng):
+    # Reference oracle: test/affinepluslinear.jl:46-68 — prox equals the
+    # closed-form KKT solve for beta = ±1.
+    m, n = 7, 12
+    A = jnp.asarray(rng.standard_normal((m, n)))
+    b = jnp.asarray(rng.standard_normal(m))
+    q = jnp.asarray(rng.standard_normal(n))
+    for beta in (1, -1):
+        proj = AffinePlusLinearProjector.create(A, b, q, beta)
+        x = jnp.asarray(rng.standard_normal(n + m))
+        y, _ = proj.project(x, proj.init_cg_state(x.dtype))
+        # oracle: minimize ||y1-x1||^2 + ||y2-x2||^2 + 2 q'y1  s.t. A y1 - beta y2 = b
+        An = np.asarray(A)
+        M = np.eye(m) + An @ An.T
+        lam = np.linalg.solve(
+            M, An @ (np.asarray(x[:n]) - np.asarray(q)) - beta * np.asarray(x[n:]) - np.asarray(b)
+        )
+        y1 = np.asarray(x[:n]) - np.asarray(q) - An.T @ lam
+        y2 = np.asarray(x[n:]) + beta * lam
+        np.testing.assert_allclose(np.asarray(y), np.concatenate([y1, y2]), atol=1e-9)
+        # constraint holds
+        np.testing.assert_allclose(An @ y1 - beta * y2, np.asarray(b), atol=1e-9)
+        # direct mode agrees
+        proj_d = AffinePlusLinearProjector.create(A, b, q, beta, direct=True)
+        yd, _ = proj_d.project(x, proj_d.init_cg_state(x.dtype))
+        np.testing.assert_allclose(np.asarray(yd), np.asarray(y), atol=1e-9)
+
+
+def test_projector_jit_roundtrip(rng):
+    # projectors are pytrees: pass through jit as arguments
+    A, b, c = _problem(rng, 6, 4)
+    proj = HSDEAffineProjector.create(A, b, c)
+    z = jnp.asarray(rng.standard_normal(2 * proj.l))
+
+    @jax.jit
+    def go(p, z, cg):
+        return p.project(z, cg)
+
+    y, cg = go(proj, z, proj.init_cg_state(z.dtype))
+    y2, _ = proj.project(z, proj.init_cg_state(z.dtype))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2), atol=1e-10)
+    assert int(cg.call_idx) == 2
