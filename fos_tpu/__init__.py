@@ -24,8 +24,20 @@ instances.
 from fos_tpu import config as config  # noqa: F401  (applies x64 default)
 
 from fos_tpu.cones import Cone, ConeSpec, project, project_dual  # noqa: F401
-from fos_tpu.solvers import AP, DR, Dykstra, FISTA, GAP, GAPA, GAPP  # noqa: F401
+from fos_tpu.solvers import (  # noqa: F401
+    AP,
+    DR,
+    Dykstra,
+    FISTA,
+    GAP,
+    GAPA,
+    GAPP,
+    LineSearchWrapper,
+    LongstepWrapper,
+)
 from fos_tpu.problems import ConicProblem, Solution, conic_problem  # noqa: F401
 from fos_tpu.interface import solve  # noqa: F401
+from fos_tpu.interface.api import solve_feasibility  # noqa: F401
+from fos_tpu.problems.feasibility import Feasibility  # noqa: F401
 
 __version__ = "0.1.0"

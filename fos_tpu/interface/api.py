@@ -25,6 +25,30 @@ from fos_tpu.solvers import engine
 from fos_tpu.solvers.base import GAP, DR
 
 
+def solve_feasibility(problem, alg=None, initx=None, **options):
+    """Solve ``find x in S1 ∩ S2`` (reference: Feasibility.jl:51-55).
+
+    kwargs here override options stored on the algorithm
+    (Feasibility.jl:33-36: "kwargs in solve! overrides").
+    """
+    from fos_tpu.problems.feasibility import (
+        Feasibility, FeasibilityForm, populate_feasibility_solution)
+
+    t0 = time.time()
+    assert isinstance(problem, Feasibility)
+    if alg is None:
+        alg = DR()
+    opts = dict(alg.options)
+    opts.update(options)
+    form = FeasibilityForm.build(problem)
+    init_duration = time.time() - t0
+    if initx is not None:
+        initx = jnp.asarray(initx, dtype=form.dtype)
+    res = engine.run(form, alg, initx=initx, init_duration=init_duration, **opts)
+    return populate_feasibility_solution(form, res.guess, res.status, res.iters,
+                                         res.history)
+
+
 def solve(A=None, b=None, c=None, K1: ConeSpec = None, K2: ConeSpec = None,
           alg=None, problem: ConicProblem = None, initx=None, **options) -> Solution:
     """Solve ``min c'x s.t. Ax + s = b, s in K1, x in K2`` via the HSDE."""

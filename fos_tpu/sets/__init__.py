@@ -1,0 +1,11 @@
+from fos_tpu.sets.sets import (  # noqa: F401
+    AffineSet,
+    Ball,
+    Box,
+    ConeSet,
+    FunctionSet,
+    Halfspace,
+    NonNeg,
+    NonPos,
+    Point,
+)

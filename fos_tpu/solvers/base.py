@@ -43,6 +43,50 @@ class SolverState(NamedTuple):
     aux: Any                  # per-algorithm carry
 
 
+class PlaneBuf(NamedTuple):
+    """Supporting-hyperplane capture buffer for the longstep wrapper.
+
+    Rows [0 .. nsave] hold equality planes (from S1 projections), rows
+    [nsave+1 .. 2*nsave+1] inequality planes (from S2 projections) — the
+    *intended* layout of the reference's ``SavedPlanes``
+    (src/wrappers/longstep.jl:68-101, saveplanes.jl:13-60; the reference
+    interleaves rows on write but slices them contiguously on solve — a
+    reference bug we do not reproduce).  ``slot`` is the 0-based window
+    position; negative means capture inactive.
+    """
+
+    A: jnp.ndarray      # (rows, dim)
+    b: jnp.ndarray      # (rows,)
+    slot: jnp.ndarray   # int32
+    nsave: int = 0      # static in practice (carried via wrapper config)
+
+
+def _plane_row(planes: PlaneBuf, row, x, y):
+    """Write plane {w : <x-y, w> = <x-y, y>} into ``row`` when active."""
+    a = x - y
+    bval = jnp.vdot(a, y)
+    write = planes.slot >= 0
+    row = jnp.clip(row, 0, planes.A.shape[0] - 1)
+    A = planes.A.at[row].set(jnp.where(write, a, planes.A[row]))
+    b = planes.b.at[row].set(jnp.where(write, bval, planes.b[row]))
+    return planes._replace(A=A, b=b)
+
+
+def capture_eq(planes, x, y):
+    """Record an S1 (equality) supporting plane (longstep.jl:71-84)."""
+    if planes is None:
+        return None
+    return _plane_row(planes, planes.slot, x, y)
+
+
+def capture_ineq(planes, x, y):
+    """Record an S2 (inequality) supporting plane (longstep.jl:87-101)."""
+    if planes is None:
+        return None
+    nrows = planes.A.shape[0]
+    return _plane_row(planes, nrows // 2 + planes.slot, x, y)
+
+
 @jax.tree_util.register_pytree_node_class
 class ConeSet:
     """Stateless projectable set backed by a compiled cone projector."""
@@ -143,11 +187,17 @@ class Algorithm:
         return merged
 
 
-def _gap_like_step(alg, sets, st, eq_capture=None, ineq_capture=None):
-    """The shared two-relaxed-projections step (gap.jl:61-80)."""
+def _gap_like_step(alg, sets, st, planes=None):
+    """The shared two-relaxed-projections step (gap.jl:61-80), with optional
+    supporting-plane capture for the longstep wrapper."""
     alpha = alg.alpha
-    tmp1, s1_state = alg.relaxed_s1(sets, st.x, st.s1_state, st.aux)
-    z, tmp2, s2_state = alg.relaxed_s2(sets, tmp1, st.s2_state, st.aux)
+    a1, a2 = alg.coeffs(st.aux)
+    y1, s1_state = sets.s1.project(st.x, st.s1_state)
+    planes = capture_eq(planes, st.x, y1)
+    tmp1 = a1 * y1 + (1.0 - a1) * st.x
+    z, s2_state = sets.s2.project(tmp1, st.s2_state)
+    planes = capture_ineq(planes, tmp1, z)
+    tmp2 = a2 * z + (1.0 - a2) * tmp1
     x_new = alpha * tmp2 + (1.0 - alpha) * st.x
     return st._replace(
         x=x_new,
@@ -156,7 +206,7 @@ def _gap_like_step(alg, sets, st, eq_capture=None, ineq_capture=None):
         z_check_prev=st.z_check,
         s1_state=s1_state,
         s2_state=s2_state,
-    ), tmp1, tmp2
+    ), tmp1, tmp2, planes
 
 
 @dataclass(frozen=True)
@@ -176,8 +226,12 @@ class GAP(Algorithm):
         return self.alpha1, self.alpha2
 
     def step(self, sets, st):
-        st, _, _ = _gap_like_step(self, sets, st)
+        st, _, _, _ = _gap_like_step(self, sets, st)
         return st
+
+    def step_capture(self, sets, st, planes):
+        st, _, _, planes = _gap_like_step(self, sets, st, planes)
+        return st, planes
 
     @property
     def support_linesearch(self):
@@ -221,7 +275,11 @@ class GAPA(Algorithm):
         return aux, aux
 
     def step(self, sets, st):
-        st2, tmp1, tmp2 = _gap_like_step(self, sets, st)
+        st2, _ = self.step_capture(sets, st, None)
+        return st2
+
+    def step_capture(self, sets, st, planes):
+        st2, tmp1, tmp2, planes = _gap_like_step(self, sets, st, planes)
         # Friedrichs angle estimate from (x, tmp1, tmp2) (gapa.jl:36-47)
         d1 = tmp2 - tmp1
         d2 = tmp1 - st.x
@@ -232,7 +290,7 @@ class GAPA(Algorithm):
         s = jnp.sqrt(1.0 - scl**2)
         aopt = 2.0 / (1.0 + s)
         a12 = (1.0 - self.beta) * aopt + 2.0 * self.beta
-        return st2._replace(aux=a12.astype(st.x.dtype))
+        return st2._replace(aux=a12.astype(st.x.dtype)), planes
 
     @property
     def support_linesearch(self):
@@ -266,7 +324,7 @@ class GAPP(Algorithm):
 
     def step(self, sets, st):
         def normal_branch(st):
-            st2, _, _ = _gap_like_step(self, sets, st)
+            st2, _, _, _ = _gap_like_step(self, sets, st)
             return st2
 
         def proj_branch(st):
@@ -312,17 +370,23 @@ class FISTA(Algorithm):
         return self.alpha, 1.0
 
     def step(self, sets, st):
+        st2, _ = self.step_capture(sets, st, None)
+        return st2
+
+    def step_capture(self, sets, st, planes):
         t, y, _ = st.aux
-        tmp1, s1_state = sets.s1.project(y, st.s1_state)
-        tmp1 = self.alpha * tmp1 + (1.0 - self.alpha) * y
+        y1, s1_state = sets.s1.project(y, st.s1_state)
+        planes = capture_eq(planes, y, y1)
+        tmp1 = self.alpha * y1 + (1.0 - self.alpha) * y
         x_new, s2_state = sets.s2.project(tmp1, st.s2_state)
+        planes = capture_ineq(planes, tmp1, x_new)
         t_new = (1.0 + jnp.sqrt(1.0 + 4.0 * t**2)) / 2.0
         y_new = x_new + ((t - 1.0) / t_new) * (x_new - st.x)
         return st._replace(
             x=x_new, i=st.i + 1, z_check=x_new, z_check_prev=st.z_check,
             s1_state=s1_state, s2_state=s2_state,
             aux=(t_new, y_new, st.x),
-        )
+        ), planes
 
     @property
     def support_longstep(self):
@@ -345,15 +409,21 @@ class Dykstra(Algorithm):
         return 1.0, 1.0
 
     def step(self, sets, st):
+        st2, _ = self.step_capture(sets, st, None)
+        return st2
+
+    def step_capture(self, sets, st, planes):
         p, q = st.aux
         y, s1_state = sets.s1.project(st.x + p, st.s1_state)
+        planes = capture_eq(planes, st.x + p, y)
         p_new = st.x + p - y
         x_new, s2_state = sets.s2.project(y + q, st.s2_state)
+        planes = capture_ineq(planes, y + q, x_new)
         q_new = y + q - x_new
         return st._replace(
             x=x_new, i=st.i + 1, z_check=x_new, z_check_prev=st.z_check,
             s1_state=s1_state, s2_state=s2_state, aux=(p_new, q_new),
-        )
+        ), planes
 
     @property
     def support_longstep(self):

@@ -1,0 +1,187 @@
+"""Wrapper algorithms: line search and longstep.
+
+Reference: /root/reference/src/wrappers/linesearch.jl, longstep.jl,
+saveplanes.jl.  Wrappers are step-function combinators: they hold an inner
+algorithm config and delegate, adding interval-gated extra work.  Both are
+ordinary :class:`Algorithm` configs, so they compose with the same engine.
+
+TPU-native reshaping:
+
+* the line-search candidate sweep (31 sequential prox evaluations with
+  println debugging in the reference, linesearch.jl:54-70) becomes ONE
+  vmapped batched evaluation of ``||T(x+a*res) - (x+a*res)||`` over the
+  whole alpha grid;
+* the longstep plane projection (a BigFloat QPDAS active-set QP in the
+  reference, saveplanes.jl:13-55) becomes a fixed-iteration projected
+  gradient on the tiny r-dimensional dual (r = 2*(nsave+1)) with the Gram
+  matrix precomputed — jit-safe, f64, no host round-trip.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fos_tpu.solvers.base import Algorithm, PlaneBuf, SolverState
+
+
+@dataclass(frozen=True)
+class LineSearchWrapper(Algorithm):
+    """Every ``lsinterval`` iterations: take one T = S2∘S1 step, set
+    ``res = T(x) - x``, and grid-search ``alpha in 0.1*1.8^k, k=1..31``
+    minimizing the fixed-point residual ``||T(x+alpha*res) - (x+alpha*res)||``
+    (linesearch.jl:36-75)."""
+
+    alg: Algorithm = None
+    lsinterval: int = 100
+    options: Tuple[Tuple[str, Any], ...] = ()
+
+    def __post_init__(self):
+        if not self.alg.support_linesearch:
+            raise ValueError(
+                f"Algorithm {type(self.alg).__name__} does not support line search")
+
+    def init_aux(self, x0):
+        return self.alg.init_aux(x0)
+
+    def coeffs(self, aux):
+        return self.alg.coeffs(aux)
+
+    def step(self, sets, st: SolverState) -> SolverState:
+        inner = self.alg
+
+        def ls_branch(st):
+            x_prev = st.x
+            tmp2, s1_state = inner.relaxed_s1(sets, st.x, st.s1_state, st.aux)
+            z, x_new, s2_state = inner.relaxed_s2(sets, tmp2, st.s2_state, st.aux)
+            res = x_new - x_prev
+
+            alphas = 0.1 * 1.8 ** jnp.arange(1, 32, dtype=st.x.dtype)
+            cands = x_prev[None, :] + alphas[:, None] * res[None, :]
+
+            def T(xc):
+                # NoStatus probes (linesearch.jl:58-63): warm-start state is
+                # shared read-only across candidates and then discarded.
+                y1, _ = inner.relaxed_s1(sets, xc, s1_state, st.aux)
+                _, xc2, _ = inner.relaxed_s2(sets, y1, s2_state, st.aux)
+                return xc2
+
+            Tx = jax.vmap(T)(cands)
+            testres = jnp.linalg.norm(Tx - cands, axis=-1)
+            abest = alphas[jnp.argmin(testres)]
+            x_ls = x_prev + abest * res
+            return st._replace(
+                x=x_ls, i=st.i + 1, z_check=z, z_check_prev=st.z_check,
+                s1_state=s1_state, s2_state=s2_state,
+            )
+
+        def normal_branch(st):
+            return inner.step(sets, st)
+
+        do_ls = (st.i + 1) % self.lsinterval == 0
+        return jax.lax.cond(do_ls, ls_branch, normal_branch, st)
+
+    def getsol(self, sets, st):
+        return self.alg.getsol(sets, st)
+
+    @property
+    def support_longstep(self):
+        return False
+
+
+def _project_on_planes(x, A, b, nsave: int, iters: int = 400):
+    """Project x onto {y : A_eq y = b_eq} ∩ {y : C y <= d}.
+
+    Rows [0..nsave] of (A, b) are equalities, the rest inequalities
+    (saveplanes.jl semantics).  Solved in the r-dimensional dual
+    ``min 1/2 th'G th - th'g0  s.t. th_ineq >= 0`` with
+    ``y = x - A' th`` via accelerated projected gradient (FISTA) —
+    the system is tiny (r = 2*(nsave+1)) so the Gram matrix is cheap.
+    """
+    r = A.shape[0]
+    G = A @ A.T
+    g0 = A @ x - b
+    # Lipschitz bound: trace(G) >= lambda_max(G); guard zero planes.
+    L = jnp.maximum(jnp.trace(G), 1e-30)
+    ineq_mask = (jnp.arange(r) > nsave).astype(x.dtype)
+
+    def proj_feasible(th):
+        # equality multipliers free; inequality multipliers >= 0
+        return jnp.where(ineq_mask > 0, jnp.maximum(th, 0.0), th)
+
+    def body(carry, _):
+        th, th_prev, t = carry
+        t_new = (1.0 + jnp.sqrt(1.0 + 4.0 * t**2)) / 2.0
+        w = th + ((t - 1.0) / t_new) * (th - th_prev)
+        grad = G @ w - g0
+        th_next = proj_feasible(w - grad / L)
+        return (th_next, th, t_new), None
+
+    th0 = jnp.zeros(r, dtype=x.dtype)
+    (th, _, _), _ = jax.lax.scan(body, (th0, th0, jnp.asarray(1.0, x.dtype)), None,
+                                 length=iters)
+    return x - A.T @ th
+
+
+@dataclass(frozen=True)
+class LongstepWrapper(Algorithm):
+    """During the ``nsave+1`` iterations before each ``longinterval``
+    boundary, record the supporting hyperplanes of every projection; at the
+    boundary replace x with its projection onto their intersection
+    (longstep.jl:43-60)."""
+
+    alg: Algorithm = None
+    longinterval: int = 100
+    nsave: int = 10
+    qp_iters: int = 400
+    options: Tuple[Tuple[str, Any], ...] = ()
+
+    def __post_init__(self):
+        if not self.alg.support_longstep:
+            raise ValueError(
+                f"Algorithm {type(self.alg).__name__} does not support longstep")
+
+    def init_aux(self, x0):
+        rows = 2 * (self.nsave + 1)
+        planes = PlaneBuf(
+            A=jnp.zeros((rows, x0.shape[0]), x0.dtype),
+            b=jnp.zeros(rows, x0.dtype),
+            slot=jnp.asarray(-1, jnp.int32),
+        )
+        return (self.alg.init_aux(x0), planes)
+
+    def coeffs(self, aux):
+        return self.alg.coeffs(aux[0])
+
+    def step(self, sets, st: SolverState) -> SolverState:
+        inner_aux, planes = st.aux
+        i1 = st.i + 1  # 1-based iteration about to run
+        # savepos = (i-1)%longinterval - longinterval + nsave + 2 (1-based;
+        # longstep.jl:46); slot = savepos-1 in 0-based terms.
+        slot = (i1 - 1) % self.longinterval - self.longinterval + self.nsave + 1
+        planes = planes._replace(slot=slot.astype(jnp.int32))
+
+        st_inner = st._replace(aux=inner_aux)
+        st_inner, planes = self.alg.step_capture(sets, st_inner, planes)
+
+        def do_longstep(args):
+            x, planes = args
+            y = _project_on_planes(x, planes.A, planes.b, self.nsave, self.qp_iters)
+            return y
+
+        def no_longstep(args):
+            x, _ = args
+            return x
+
+        x_new = jax.lax.cond(
+            slot == self.nsave, do_longstep, no_longstep, (st_inner.x, planes))
+        return st_inner._replace(x=x_new, aux=(st_inner.aux, planes))
+
+    def getsol(self, sets, st):
+        inner_aux, planes = st.aux
+        st_inner = st._replace(aux=inner_aux)
+        guess, st_inner = self.alg.getsol(sets, st_inner)
+        return guess, st_inner._replace(aux=(st_inner.aux, planes))

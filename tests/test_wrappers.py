@@ -1,0 +1,137 @@
+"""Wrapper combinator tests.
+
+LineSearchWrapper mirrors /root/reference/test/linesearch.jl (smoke on the
+README problem) and the feasibility suite expectation
+(testfeasibility.jl:33-44: LineSearchWrapper(GAP) reaches :Optimal).
+LongstepWrapper is exercised on the same feasibility problem (the
+reference's own longstep tests live in the disabled testspecific.jl).
+"""
+
+import numpy as np
+import pytest
+
+from fos_tpu import DR, GAP, GAPA, FISTA, LineSearchWrapper, LongstepWrapper, solve
+from fos_tpu.interface.api import solve_feasibility
+from fos_tpu.problems.feasibility import Feasibility
+from fos_tpu.sets import AffineSet, NonNeg
+
+from tests.test_solve_e2e import readme_problem
+
+
+@pytest.fixture(scope="module")
+def feas_problem():
+    rng = np.random.default_rng(2)
+    xsol = np.abs(rng.standard_normal(100))
+    A = rng.standard_normal((50, 100))
+    b = A @ xsol
+    return Feasibility(AffineSet.create(A, b), NonNeg(), 100), A, b
+
+
+def test_linesearch_trait_check():
+    with pytest.raises(ValueError):
+        LineSearchWrapper(alg=FISTA())  # FISTA has no (fast) line search
+
+
+def test_longstep_trait_check():
+    from fos_tpu.solvers.base import GAPP
+
+    with pytest.raises(ValueError):
+        LongstepWrapper(alg=GAPP())
+
+
+def test_linesearch_feasibility(feas_problem):
+    prob, A, b = feas_problem
+    sol = solve_feasibility(prob, LineSearchWrapper(alg=GAP(), lsinterval=100),
+                            eps=1e-8, verbose=0)
+    assert sol.status == "Optimal"
+    x = np.asarray(sol.x)
+    assert x.min() > -1e-12
+    assert np.max(np.abs(A @ x - b)) < 1e-6
+
+
+def test_linesearch_readme_smoke():
+    # reference test/linesearch.jl: LineSearchWrapper(GAP(0.5, 1.0, 1.0)) runs
+    Ac, bc, c, K1, K2, A, b, xstar, opt = readme_problem()
+    n = A.shape[1]
+    alg = LineSearchWrapper(alg=GAP(0.5, 1.0, 1.0), lsinterval=100)
+    sol = solve(Ac, bc, c, K1, K2, alg=alg, eps=1e-8, max_iters=10000, verbose=0)
+    x = np.asarray(sol.x[:n])
+    obj = np.sum((A @ x - b) ** 2)
+    if sol.status == "Optimal":
+        assert abs(obj - opt) / opt < 1e-5
+
+
+def test_linesearch_speeds_up_ap(feas_problem):
+    # line search should not break convergence of plain GAP at matched budget
+    prob, A, b = feas_problem
+    sol_plain = solve_feasibility(prob, GAP(), eps=1e-10, verbose=0, max_iters=3000)
+    sol_ls = solve_feasibility(prob, LineSearchWrapper(alg=GAP(), lsinterval=50),
+                               eps=1e-10, verbose=0, max_iters=3000)
+    _, err_plain = sol_plain.history.get("err")
+    _, err_ls = sol_ls.history.get("err")
+    assert err_ls[-1] <= err_plain[-1] * 10  # at least not catastrophically worse
+
+
+def test_longstep_feasibility(feas_problem):
+    prob, A, b = feas_problem
+    alg = LongstepWrapper(alg=GAPA(), longinterval=100, nsave=10)
+    sol = solve_feasibility(prob, alg, eps=1e-8, verbose=0)
+    assert sol.status == "Optimal"
+    x = np.asarray(sol.x)
+    assert x.min() > -1e-10
+    assert np.max(np.abs(A @ x - b)) < 1e-6
+
+
+def test_longstep_readme(readme=None):
+    Ac, bc, c, K1, K2, A, b, xstar, opt = readme_problem()
+    n = A.shape[1]
+    alg = LongstepWrapper(alg=DR(), longinterval=500, nsave=10)
+    sol = solve(Ac, bc, c, K1, K2, alg=alg, eps=1e-7, max_iters=20000, verbose=0)
+    assert sol.status == "Optimal"
+    x = np.asarray(sol.x[:n])
+    obj = np.sum((A @ x - b) ** 2)
+    assert abs(obj - opt) / opt < 1e-4
+
+
+def test_project_on_planes_oracle(rng):
+    # equality-only: closed form y = x - A'(AA')^{-1}(Ax - b)
+    import jax.numpy as jnp
+    from fos_tpu.solvers.wrappers import _project_on_planes
+
+    nsave = 3
+    dim = 20
+    rows = 2 * (nsave + 1)
+    A = rng.standard_normal((rows, dim))
+    b = rng.standard_normal(rows)
+    x = rng.standard_normal(dim)
+    # make inequality rows inactive (d very large) -> pure equality projection
+    b_eq = b.copy()
+    b_eq[nsave + 1 :] = 1e6
+    y = np.asarray(_project_on_planes(jnp.asarray(x), jnp.asarray(A), jnp.asarray(b_eq),
+                                      nsave, iters=2000))
+    Aeq = A[: nsave + 1]
+    beq = b_eq[: nsave + 1]
+    expect = x - Aeq.T @ np.linalg.solve(Aeq @ Aeq.T, Aeq @ x - beq)
+    np.testing.assert_allclose(y, expect, atol=1e-8)
+    # with active inequalities: result satisfies both constraint sets and is
+    # no farther than the scipy-verified optimum
+    y2 = np.asarray(_project_on_planes(jnp.asarray(x), jnp.asarray(A), jnp.asarray(b),
+                                       nsave, iters=4000))
+    assert np.max(np.abs(Aeq @ y2 - b[: nsave + 1])) < 1e-7
+    C = A[nsave + 1 :]
+    d = b[nsave + 1 :]
+    assert np.max(C @ y2 - d) < 1e-7
+    # KKT optimality: residual x - y2 in span/cone of active normals
+    from scipy.optimize import minimize
+
+    res = minimize(
+        lambda w: 0.5 * np.sum((w - x) ** 2),
+        x,
+        constraints=[
+            {"type": "eq", "fun": lambda w: Aeq @ w - b[: nsave + 1]},
+            {"type": "ineq", "fun": lambda w: d - C @ w},
+        ],
+        method="SLSQP",
+        options={"maxiter": 500, "ftol": 1e-14},
+    )
+    assert 0.5 * np.sum((y2 - x) ** 2) <= res.fun + 1e-6
