@@ -1,0 +1,9 @@
+from fos_tpu.parallel.batched import (  # noqa: F401
+    build_batched_form,
+    solve_batched,
+)
+from fos_tpu.parallel.sharding import (  # noqa: F401
+    make_mesh,
+    shard_batched_form,
+    shard_problem_rows,
+)

@@ -1,0 +1,83 @@
+"""Batched solving of independent problem instances.
+
+The reference is strictly single-problem/single-thread; batching is the
+first TPU parallelism axis (SURVEY.md §2c "Data parallel"): stack B
+instances that share shapes and cone structure, vmap the fused solver over
+the stack, and (optionally) shard the batch axis across the device mesh.
+Per-instance termination is handled inside :func:`fused_solve` by freezing
+terminated instances, so the lifted while_loop runs until the slowest
+instance finishes without corrupting the others.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from fos_tpu.cones.spec import ConeSpec
+from fos_tpu.problems.hsde import HSDEForm, hsde_cone_spec
+from fos_tpu.linalg.affine import HSDEAffineProjector
+from fos_tpu.solvers.base import ConeSet, TwoSets
+from fos_tpu.solvers.engine import FusedResult, fused_solve
+
+
+def build_batched_form(A, b, c, K1: ConeSpec, K2: ConeSpec, *, direct=False,
+                       cg_max_iters: int = 1000) -> HSDEForm:
+    """A: (B, m, n), b: (B, m), c: (B, n) — one HSDEForm pytree with a
+    leading batch axis on every array leaf."""
+    A = jnp.asarray(A)
+    b = jnp.asarray(b)
+    c = jnp.asarray(c)
+    B, m, n = A.shape
+    if K1.dim != m or K2.dim != n:
+        raise ValueError("cone specs must cover (m, n)")
+    if direct:
+        # batched dense inverses: (B, l, l)
+        from fos_tpu.linalg import hsde_ops
+
+        Qd = jax.vmap(hsde_ops.q_dense)(A, b, c)
+        l = Qd.shape[-1]
+        inv = jnp.linalg.inv(jnp.eye(l, dtype=Qd.dtype)[None] + jnp.einsum(
+            "bij,bik->bjk", Qd, Qd))
+        s1 = HSDEAffineProjector(A, b, c, inv, direct=True,
+                                 decreasing_accuracy=False,
+                                 cg_max_iters=cg_max_iters)
+    else:
+        s1 = HSDEAffineProjector(A, b, c, None, direct=False,
+                                 decreasing_accuracy=True,
+                                 cg_max_iters=cg_max_iters)
+    s2 = ConeSet(hsde_cone_spec(K1, K2))
+    norm_b = jnp.linalg.norm(b, axis=-1)
+    norm_c = jnp.linalg.norm(c, axis=-1)
+    return HSDEForm(TwoSets(s1, s2), A, b, c, norm_b, norm_c, n, m)
+
+
+@functools.partial(jax.jit, static_argnames=("alg", "max_iters", "eps", "checki",
+                                             "record_history"))
+def solve_batched(alg, form: HSDEForm, *, max_iters: int = 10000,
+                  eps: float = 1e-5, checki: int = 100,
+                  record_history: bool = False) -> FusedResult:
+    """vmap the fused solver over the leading batch axis of ``form``."""
+    B = form.b.shape[0]
+    l = form.n + form.m + 1
+    x0 = (
+        jnp.zeros((B, 2 * l), form.b.dtype)
+        .at[:, l - 1].set(1.0)
+        .at[:, 2 * l - 1].set(1.0)
+    )
+
+    def one(form_i, x0_i):
+        return fused_solve(alg, form_i, x0_i, max_iters=max_iters, eps=eps,
+                           checki=checki, record_history=record_history)
+
+    return jax.vmap(one)(form, x0)
+
+
+def form_initial_value(form: HSDEForm):
+    l = form.n + form.m + 1
+    z = jnp.zeros(2 * l, dtype=form.b.dtype)
+    z = z.at[l - 1].set(1.0)
+    z = z.at[2 * l - 1].set(1.0)
+    return z

@@ -1,0 +1,67 @@
+"""Device-mesh sharding for large problems and instance batches.
+
+The reference has no distribution story at all (SURVEY.md §2c); the
+TPU-native scale-out follows the GSPMD recipe: build a
+``jax.sharding.Mesh``, annotate the data layout with ``NamedSharding``, jit
+the *same* solver code, and let XLA insert the collectives.  The only
+communication points are the ones identified in SURVEY.md §5: the two dot
+products per CG iteration, the matvec reductions when A is sharded, and the
+residual norms in the convergence check — all become ``psum``-style
+collectives over ICI automatically.
+
+Two axes:
+
+* ``batch`` — independent problem instances (data parallel);
+* ``model`` — row-block sharding of A for one large problem (tensor
+  parallel): ``A: P('model', None)``, ``b: P('model')``, c replicated; the
+  HSDE iterate z is kept replicated (it is ~m+n, small next to A).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(shape: Sequence[int] = None, names: Sequence[str] = ("batch", "model"),
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if shape is None:
+        shape = (len(devices), 1)
+    mesh_devices = np.asarray(devices).reshape(shape)
+    return Mesh(mesh_devices, names)
+
+
+def shard_batched_form(form, mesh: Mesh, axis: str = "batch"):
+    """Place a batched HSDEForm so the instance axis is split over ``axis``."""
+    def put(x):
+        if x is None or not hasattr(x, "ndim"):
+            return x
+        spec = P(axis, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, form)
+
+
+def shard_problem_rows(form, mesh: Mesh, axis: str = "model"):
+    """Row-block shard one large problem: A by rows, b alongside; c and the
+    iterate stay replicated.  A'y then contracts over the sharded row axis
+    (XLA inserts the psum); A x is local per row block."""
+    s_rows2d = NamedSharding(mesh, P(axis, None))
+    s_rows1d = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    def put(path, x):
+        if x is None or not hasattr(x, "ndim"):
+            return x
+        name = path[-1].name if path and hasattr(path[-1], "name") else ""
+        if x.ndim == 2:
+            return jax.device_put(x, s_rows2d)
+        if x.ndim == 1 and x.shape[0] == form.m:
+            return jax.device_put(x, s_rows1d)
+        return jax.device_put(x, repl)
+
+    return jax.tree_util.tree_map_with_path(put, form)

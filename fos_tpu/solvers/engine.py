@@ -61,6 +61,68 @@ def _getsol(alg, form, st: SolverState):
     return alg.getsol(form.sets, st)
 
 
+class FusedResult(NamedTuple):
+    """Result of a fully-on-device solve (vmappable / shardable)."""
+
+    guess: jnp.ndarray
+    status: jnp.ndarray      # int32
+    iters: jnp.ndarray       # int32
+    check: Any               # final form-check scalars
+    state: SolverState
+    hist: jnp.ndarray        # (max_checks, nfields) residual history (or ())
+
+
+def fused_solve(alg, form, x0, *, max_iters: int = 10000, eps: float = 1e-5,
+                checki: int = 100, record_history: bool = False) -> FusedResult:
+    """Entire solve as one ``lax.while_loop`` over check-interval chunks —
+    zero host synchronization, suitable for ``vmap`` over problem batches and
+    ``pjit``/sharding over a device mesh.
+
+    Once an instance's status leaves :Continue its state freezes, so batched
+    (vmapped) solves keep well-defined per-instance results while the lifted
+    while_loop runs until every instance terminates.
+
+    The trailing ``max_iters % checki`` iterations of the chunked engine are
+    not run here (the final forced check happens on the solution guess, as
+    in solverwrapper.jl:32-34).
+    """
+    nchunks = max_iters // checki
+    st0 = init_solver_state(alg, form.sets, x0)
+    chk0 = form.check(st0.z_check, eps, prev=st0.z_check_prev)
+    nhist = len(tuple(chk0))
+    hist0 = jnp.zeros((nchunks, nhist), x0.dtype) if record_history else jnp.zeros((0, 0), x0.dtype)
+
+    def chunk_body(carry):
+        st, status, k, hist = carry
+        def body(_, s):
+            return alg.step(form.sets, s)
+
+        st_new = jax.lax.fori_loop(0, checki, body, st)
+        chk = form.check(st_new.z_check, eps, prev=st_new.z_check_prev)
+        if record_history:
+            hist = hist.at[k].set(jnp.stack([v.astype(x0.dtype) for v in tuple(chk)]))
+        # freeze once terminated (matters under vmap)
+        cont = status == Status.CONTINUE
+        st = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(cont, new, old), st_new, st)
+        status = jnp.where(cont, chk.status, status)
+        return st, status, k + 1, hist
+
+    def chunk_cond(carry):
+        _, status, k, _ = carry
+        return (status == Status.CONTINUE) & (k < nchunks)
+
+    st, status, k, hist = jax.lax.while_loop(
+        chunk_cond, chunk_body,
+        (st0, jnp.asarray(Status.CONTINUE, jnp.int32), jnp.asarray(0, jnp.int32), hist0),
+    )
+    guess, st = alg.getsol(form.sets, st)
+    chk = form.check(guess, eps, prev=st.z_check)
+    status = jnp.where(status == Status.CONTINUE, chk.status, status)
+    return FusedResult(guess=guess, status=status, iters=st.i, check=chk, state=st,
+                       hist=hist)
+
+
 class RunResult(NamedTuple):
     guess: jnp.ndarray
     status: int
