@@ -121,26 +121,30 @@ def tpu_bench():
     alg = DR()
     x0 = form.initial_value(form.dtype)
 
-    # throughput: eps=0 -> never terminates early; fixed BENCH_ITERS
-    run = jax.jit(lambda f, x: fused_solve(alg, f, x, max_iters=BENCH_ITERS,
-                                           eps=0.0, checki=CHECKI))
-    res = run(form, x0)
-    jax.block_until_ready(res.guess)  # compile + warm
+    # eps is traced, so throughput (eps=0: never exits early) and quality
+    # (eps=1e-5) share ONE compilation.  NOTE: block_until_ready is not a
+    # reliable sync on the axon tunnel — fetch a scalar to force completion.
+    run = jax.jit(lambda f, x, eps: fused_solve(alg, f, x, max_iters=BENCH_ITERS,
+                                                eps=eps, checki=CHECKI))
+
+    def sync(r):
+        return float(jnp.sum(r.guess))
+
+    res = run(form, x0, 0.0)
+    sync(res)  # compile + warm
     assert int(res.iters) == BENCH_ITERS, f"early exit at {int(res.iters)}"
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        res = run(form, x0)
-        jax.block_until_ready(res.guess)
+        res = run(form, x0, 0.0)
+        sync(res)
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[1]  # median of 3
     iters_per_s = BENCH_ITERS / dt
 
     # quality: eps=1e-5 operating point on the same problem
-    conv = jax.jit(lambda f, x: fused_solve(alg, f, x, max_iters=4000,
-                                            eps=1e-5, checki=CHECKI))
-    r2 = conv(form, x0)
-    jax.block_until_ready(r2.guess)
+    r2 = run(form, x0, 1e-5)
+    sync(r2)
     l = M + N + 1
     tau = r2.guess[l - 1]
     xsol = np.asarray(r2.guess[:N] / tau)

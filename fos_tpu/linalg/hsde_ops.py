@@ -30,19 +30,29 @@ from jax.experimental import sparse as jsparse
 
 
 def mv(A, x):
-    """A @ x for dense or BCOO A."""
+    """A @ x for dense, BCOO, or PaddedDenseOp A."""
+    if hasattr(A, "mv"):
+        return A.mv(x)
     return A @ x
 
 
 def rmv(A, y):
-    """A' @ y for dense or BCOO A."""
-    if isinstance(A, jsparse.BCOO):
-        return A.T @ y
+    """A' @ y for dense, BCOO, or PaddedDenseOp A."""
+    if hasattr(A, "rmv"):
+        return A.rmv(y)
     return A.T @ y
 
 
+def mv_pair(A, x1, x2):
+    """(A @ x1, A' @ x2); a single fused HBM pass when A supports it
+    (Pallas PaddedDenseOp), two passes otherwise."""
+    if hasattr(A, "mv_pair"):
+        return A.mv_pair(x1, x2)
+    return A @ x1, A.T @ x2
+
+
 def q_mul(A, b, c, z):
-    """Q @ z, matrix-free (one A-matvec + one A'-matvec + rank-1 terms).
+    """Q @ z, matrix-free (one fused A/A' matvec pair + rank-1 terms).
 
     Mirrors the lazy ``mul!`` at HSDEAffine.jl:41-59.
     """
@@ -51,14 +61,17 @@ def q_mul(A, b, c, z):
     z1 = z[:n]
     z2 = z[n : n + m]
     z3 = z[n + m]
-    y1 = rmv(A, z2) + c * z3
-    y2 = -mv(A, z1) + b * z3
+    Az1, ATz2 = mv_pair(A, z1, z2)
+    y1 = ATz2 + c * z3
+    y2 = -Az1 + b * z3
     y3 = -jnp.vdot(c, z1) - jnp.vdot(b, z2)
     return jnp.concatenate([y1, y2, y3[None]])
 
 
 def q_dense(A, b, c):
     """Materialize Q (for direct mode and test oracles)."""
+    if hasattr(A, "A_pad"):
+        A = A.A_pad[: A.m, : A.n]
     if isinstance(A, jsparse.BCOO):
         A = A.todense()
     n = c.shape[0]

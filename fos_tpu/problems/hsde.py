@@ -78,16 +78,26 @@ class HSDEForm:
     # ------------------------------------------------------------------
     @classmethod
     def build(cls, problem: ConicProblem, *, direct: bool = False,
-              cg_max_iters: int = 1000) -> "HSDEForm":
+              cg_max_iters: int = 1000, pallas: bool = False) -> "HSDEForm":
+        A = problem.A
+        # NOTE on pallas: measured on TPU v5e, XLA already fuses the
+        # (A@z1, A'@z2) pair of the Q matvec into a single HBM pass at the
+        # practical bandwidth ceiling (pair ~= single matvec cost), so the
+        # custom fused kernel is opt-in rather than the default.
+        if pallas:
+            from fos_tpu.linalg.pallas_kernels import PaddedDenseOp
+
+            if not isinstance(A, PaddedDenseOp):
+                A = PaddedDenseOp.create(A)
         s1 = HSDEAffineProjector.create(
-            problem.A, problem.b, problem.c,
+            A, problem.b, problem.c,
             direct=direct, decreasing_accuracy=not direct,
             cg_max_iters=cg_max_iters,
         )
         s2 = ConeSet(hsde_cone_spec(problem.K1, problem.K2))
         assert s2.spec.dim == 2 * s1.l
         return cls(
-            TwoSets(s1, s2), problem.A, problem.b, problem.c,
+            TwoSets(s1, s2), A, problem.b, problem.c,
             jnp.linalg.norm(problem.b), jnp.linalg.norm(problem.c),
             problem.n, problem.m,
         )
