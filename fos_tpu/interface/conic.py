@@ -1,0 +1,119 @@
+"""Conic-model front end.
+
+Replaces the reference's MathProgBase adapter
+(/root/reference/src/FOSSolverInterface.jl:27-69): problems arrive as
+``(c, A, b, constr_cones, var_cones)`` where the cone lists are
+``(cone, indices)`` pairs exactly like MPB's, are validated for contiguous
+full coverage (same checks as the reference ``ConeProduct`` constructor,
+src/cones.jl:60-77), and map through a registry equivalent to ``conemap``
+(src/cones.jl:4-14).  Also provides the ``LinearQuadraticModel`` equivalent:
+an LP bridge (``solve_lp``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence, Tuple, Union
+
+import numpy as np
+import jax.numpy as jnp
+
+from fos_tpu.cones.spec import Cone, ConeSpec
+
+# conemap equivalent (src/cones.jl:4-14)
+CONE_MAP = {
+    "Free": Cone.FREE,
+    "Zero": Cone.ZERO,
+    "NonNeg": Cone.NONNEG,
+    "NonPos": Cone.NONPOS,
+    "SOC": Cone.SOC,
+    "SOCRotated": Cone.SOC_ROTATED,
+    "SDP": Cone.PSD,
+    "ExpPrimal": Cone.EXP_PRIMAL,
+    "ExpDual": Cone.EXP_DUAL,
+}
+
+
+def supported_cones() -> Tuple[str, ...]:
+    """``supportedcones`` equivalent (FOSSolverInterface.jl:69)."""
+    return tuple(CONE_MAP)
+
+
+def _to_cone(cone: Union[str, Cone]) -> Cone:
+    if isinstance(cone, Cone):
+        return cone
+    if cone not in CONE_MAP:
+        raise ValueError(
+            f"Cone type {cone!r} not supported; supported: {supported_cones()}")
+    return CONE_MAP[cone]
+
+
+def cone_spec_from_list(dim: int,
+                        cones: Iterable[Tuple[Union[str, Cone], Sequence[int]]]
+                        ) -> ConeSpec:
+    """Build a ConeSpec from MPB-style ``(cone, indices)`` pairs.
+
+    Validation mirrors the reference (cones.jl:43-77): each index list must
+    be a contiguous run, runs must tile ``range(dim)`` in order.
+    """
+    blocks = []
+    expected_start = 0
+    for cone, idx in cones:
+        cone = _to_cone(cone)
+        idx = np.asarray(list(idx))
+        if idx.size == 0:
+            raise ValueError("empty index range")
+        if not np.array_equal(idx, np.arange(idx[0], idx[-1] + 1)):
+            raise ValueError(f"Invalid range in input: {idx}")
+        if idx[0] != expected_start:
+            raise ValueError(
+                f"ranges must tile 0..{dim - 1} in order; got start {idx[0]}, "
+                f"expected {expected_start}")
+        expected_start = int(idx[-1]) + 1
+        blocks.append((cone, int(idx.size)))
+    if expected_start != dim:
+        raise ValueError(f"ranges cover 0..{expected_start - 1}, need 0..{dim - 1}")
+    return ConeSpec(tuple(blocks))
+
+
+def load_problem(c, A, b, constr_cones, var_cones):
+    """``loadproblem!`` equivalent: returns a ConicProblem."""
+    from fos_tpu.problems.conic import conic_problem
+
+    A = np.asarray(A) if not hasattr(A, "todense") else A
+    m, n = A.shape
+    K1 = cone_spec_from_list(m, constr_cones)
+    K2 = cone_spec_from_list(n, var_cones)
+    return conic_problem(A, b, c, K1, K2)
+
+
+def solve_lp(c, A_ub=None, b_ub=None, A_eq=None, b_eq=None, *,
+             nonneg: bool = True, alg=None, **options):
+    """LP bridge (the ``ConicToLPQPBridge`` role, FOSSolverInterface.jl:6).
+
+    min c'x  s.t.  A_ub x <= b_ub,  A_eq x = b_eq,  x >= 0 (nonneg=True).
+    """
+    from fos_tpu.cones import free, nonneg as nonneg_cone, zero
+    from fos_tpu.interface.api import solve
+
+    c = np.asarray(c, dtype=float)
+    n = c.shape[0]
+    rows = []
+    rhs = []
+    k1 = []
+    if A_eq is not None:
+        A_eq = np.asarray(A_eq, dtype=float)
+        rows.append(A_eq)
+        rhs.append(np.asarray(b_eq, dtype=float))
+        k1.append(zero(A_eq.shape[0]))
+    if A_ub is not None:
+        A_ub = np.asarray(A_ub, dtype=float)
+        rows.append(A_ub)
+        rhs.append(np.asarray(b_ub, dtype=float))
+        k1.append(nonneg_cone(A_ub.shape[0]))
+    if not rows:
+        raise ValueError("need at least one of A_ub / A_eq")
+    A = np.vstack(rows)
+    b = np.concatenate(rhs)
+    K1 = ConeSpec.concat(k1)
+    K2 = nonneg_cone(n) if nonneg else free(n)
+    return solve(A, b, c, K1, K2, alg=alg, **options)

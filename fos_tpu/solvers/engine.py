@@ -131,8 +131,16 @@ class RunResult(NamedTuple):
     state: SolverState
 
 
-def run(form, alg, *, initx=None, init_duration: float = 0.0, **options) -> RunResult:
-    """Chunked solve with reference-equivalent check/print/exit semantics."""
+def run(form, alg, *, initx=None, init_duration: float = 0.0,
+        resume_state: SolverState = None, **options) -> RunResult:
+    """Chunked solve with reference-equivalent check/print/exit semantics.
+
+    Extra (non-reference) options: ``resume_state`` resumes from a
+    checkpointed :class:`SolverState` (utils/checkpoint.py);
+    ``check_finite`` raises FloatingPointError when a convergence check
+    turns non-finite (the NaN-debugging tier of SURVEY.md §5);
+    ``profile_dir`` wraps the iteration loop in a ``jax.profiler`` trace.
+    """
     opts = dict(DEFAULT_OPTIONS)
     opts.update(options)
     max_iters = int(opts["max_iters"])
@@ -140,9 +148,18 @@ def run(form, alg, *, initx=None, init_duration: float = 0.0, **options) -> RunR
     eps = float(opts["eps"])
     verbose = int(opts["verbose"])
     debug = int(opts["debug"])
+    check_finite = bool(opts.get("check_finite", False))
+    profile_dir = opts.get("profile_dir", None)
 
-    x0 = initx if initx is not None else form.initial_value(form.dtype)
-    st = init_solver_state(alg, form.sets, x0)
+    if resume_state is not None:
+        st = resume_state
+    else:
+        x0 = initx if initx is not None else form.initial_value(form.dtype)
+        st = init_solver_state(alg, form.sets, x0)
+    if profile_dir:
+        import jax.profiler
+
+        jax.profiler.start_trace(profile_dir)
 
     from fos_tpu.utils.history import History
 
@@ -167,6 +184,18 @@ def run(form, alg, *, initx=None, init_duration: float = 0.0, **options) -> RunR
             print(form.row(st, chk, i, t_elapsed))
             if status_code == Status.OPTIMAL:
                 print(f"Found solution i={i}")
+        if check_finite:
+            import numpy as _np
+
+            vals = [float(v) for v in tuple(chk)[1:]]
+            if not all(_np.isfinite(v) for v in vals):
+                if profile_dir:
+                    import jax.profiler
+
+                    jax.profiler.stop_trace()
+                raise FloatingPointError(
+                    f"non-finite convergence-check values at iteration {i}: "
+                    f"{dict(zip(chk._fields[1:], vals))}")
         if status_code != Status.CONTINUE:
             break
     else:
@@ -189,6 +218,11 @@ def run(form, alg, *, initx=None, init_duration: float = 0.0, **options) -> RunR
             if status_code == Status.OPTIMAL:
                 print(f"Found solution i={i}")
 
+    if profile_dir:
+        import jax.profiler
+
+        jax.block_until_ready(guess)
+        jax.profiler.stop_trace()
     if verbose > 0:
         print("Time for iterations: ")
         print(f"{time.time() - t_iter0} s")
