@@ -130,6 +130,7 @@ def tpu_bench():
     def sync(r):
         return float(jnp.sum(r.guess))
 
+    print("compiling main...", file=sys.stderr)
     res = run(form, x0, 0.0)
     sync(res)  # compile + warm
     assert int(res.iters) == BENCH_ITERS, f"early exit at {int(res.iters)}"
@@ -150,10 +151,53 @@ def tpu_bench():
     xsol = np.asarray(r2.guess[:N] / tau)
     obj = float(c @ xsol)
 
+    # scaling: larger single problem (A-read bandwidth bound at scale).
+    # Generate ON DEVICE: shipping a 64MB matrix through the device tunnel
+    # is slower than the benchmark itself.
+    scaling = {}
+    for mn in (4000,):
+        print(f"scaling {mn}...", file=sys.stderr)
+        key = jax.random.PRNGKey(11)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        A2 = jax.random.normal(k1, (mn, mn), jnp.float32) / np.sqrt(mn)
+        b2 = A2 @ jnp.abs(jax.random.normal(k2, (mn,), jnp.float32))
+        c2 = jnp.abs(jax.random.normal(k3, (mn,), jnp.float32))
+        prob2 = conic_problem(A2, b2, c2, nonneg(mn), nonneg(mn))
+        form2 = HSDEForm.build(prob2)
+        run2 = jax.jit(lambda f, x, eps: fused_solve(alg, f, x, max_iters=300,
+                                                     eps=eps, checki=100))
+        x02 = form2.initial_value(form2.dtype)
+        r = run2(form2, x02, 0.0)
+        float(jnp.sum(r.guess))
+        t0 = time.perf_counter()
+        r = run2(form2, x02, 0.0)
+        float(jnp.sum(r.guess))
+        scaling[f"{mn}x{mn}_iters_per_s"] = round(300 / (time.perf_counter() - t0), 1)
+
+    # batched instances (data-parallel axis), generated on device
+    print("batched...", file=sys.stderr)
+    from fos_tpu.parallel.batched import build_batched_form, solve_batched
+
+    B, bm, bn = 128, 64, 96
+    key = jax.random.PRNGKey(13)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    A3 = jax.random.normal(k1, (B, bm, bn), jnp.float32)
+    b3 = (jnp.einsum("bmn,bn->bm", A3, jnp.abs(jax.random.normal(k2, (B, bn))))
+          + jnp.abs(jax.random.normal(k3, (B, bm)))).astype(jnp.float32)
+    c3 = jnp.abs(jax.random.normal(k4, (B, bn), jnp.float32))
+    form3 = build_batched_form(A3, b3, c3, nonneg(bm), nonneg(bn))
+    rb = solve_batched(alg, form3, max_iters=300, eps=0.0, checki=100)
+    float(jnp.sum(rb.guess))
+    t0 = time.perf_counter()
+    rb = solve_batched(alg, form3, max_iters=300, eps=0.0, checki=100)
+    float(jnp.sum(rb.guess))
+    batched_iters_per_s = B * 300 / (time.perf_counter() - t0)
+
     # baseline subprocess, single BLAS thread
     env = dict(os.environ)
     env.update(OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1",
                MKL_NUM_THREADS="1", JAX_PLATFORMS="cpu")
+    print("cpu baseline...", file=sys.stderr)
     out = subprocess.run([sys.executable, os.path.abspath(__file__), "--numpy-baseline"],
                          capture_output=True, text=True, env=env, timeout=1200)
     base = json.loads(out.stdout.strip().splitlines()[-1])["iters_per_s"]
@@ -165,6 +209,8 @@ def tpu_bench():
         "vs_baseline": round(iters_per_s / base, 2),
         "extras": {
             "baseline_cpu_1thread_iters_per_s": round(base, 2),
+            "scaling": scaling,
+            "batched_128x(64x96)_agg_iters_per_s": round(batched_iters_per_s, 1),
             "dtype": str(form.dtype),
             "eps1e-5_status": int(r2.status),
             "eps1e-5_iters": int(r2.iters),

@@ -50,10 +50,19 @@ def solve_feasibility(problem, alg=None, initx=None, **options):
 
 
 def solve(A=None, b=None, c=None, K1: ConeSpec = None, K2: ConeSpec = None,
-          alg=None, problem: ConicProblem = None, initx=None, **options) -> Solution:
-    """Solve ``min c'x s.t. Ax + s = b, s in K1, x in K2`` via the HSDE."""
+          alg=None, problem: ConicProblem = None, initx=None, dtype=None,
+          **options) -> Solution:
+    """Solve ``min c'x s.t. Ax + s = b, s in K1, x in K2`` via the HSDE.
+
+    ``dtype`` casts the problem data (e.g. ``jnp.float32`` for the TPU fast
+    path; defaults to the dtype of the inputs / x64 setting).
+    """
     t0 = time.time()
     if problem is None:
+        if dtype is not None:
+            A = A.astype(dtype) if hasattr(A, "astype") else jnp.asarray(A, dtype)
+            b = jnp.asarray(b, dtype)
+            c = jnp.asarray(c, dtype)
         problem = conic_problem(A, b, c, K1, K2)
     if alg is None:
         alg = DR()

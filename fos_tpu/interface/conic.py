@@ -86,6 +86,43 @@ def load_problem(c, A, b, constr_cones, var_cones):
     return conic_problem(A, b, c, K1, K2)
 
 
+def solve_scs(data: dict, cone: dict, alg=None, **options):
+    """SCS-convention front end: ``data = {"A": ..., "b": ..., "c": ...}``,
+    ``cone = {"z": n_zero, "l": n_nonneg, "q": [soc sizes], "s": [psd sides],
+    "ep": n_exp_primal, "ed": n_exp_dual}`` with all variables free
+    (SCS's convention — cone structure lives in the slack s).
+
+    This is the practical replacement for the reference's Convex.jl entry
+    point: any modeling layer that can target SCS can target this.
+    """
+    from fos_tpu.cones import free
+    from fos_tpu.cones.spec import ConeSpec, Cone
+    from fos_tpu.interface.api import solve
+
+    A = data["A"]
+    b = data["b"]
+    c = data["c"]
+    m = A.shape[0]
+    blocks = []
+    if cone.get("z"):
+        blocks.append((Cone.ZERO, int(cone["z"])))
+    if cone.get("l"):
+        blocks.append((Cone.NONNEG, int(cone["l"])))
+    for q in cone.get("q", []) or []:
+        blocks.append((Cone.SOC, int(q)))
+    for s in cone.get("s", []) or []:
+        blocks.append((Cone.PSD, int(s) * (int(s) + 1) // 2))
+    if cone.get("ep"):
+        blocks.append((Cone.EXP_PRIMAL, 3 * int(cone["ep"])))
+    if cone.get("ed"):
+        blocks.append((Cone.EXP_DUAL, 3 * int(cone["ed"])))
+    K1 = ConeSpec(tuple(blocks))
+    if K1.dim != m:
+        raise ValueError(f"cone dims cover {K1.dim} rows, A has {m}")
+    K2 = free(A.shape[1])
+    return solve(A, b, c, K1, K2, alg=alg, **options)
+
+
 def solve_lp(c, A_ub=None, b_ub=None, A_eq=None, b_eq=None, *,
              nonneg: bool = True, alg=None, **options):
     """LP bridge (the ``ConicToLPQPBridge`` role, FOSSolverInterface.jl:6).

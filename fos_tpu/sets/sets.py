@@ -171,6 +171,50 @@ class Ball(_StatelessSet):
 
 
 @jax.tree_util.register_pytree_node_class
+class BlockSet:
+    """Product of sets over contiguous index ranges — the role of
+    ProximalOperators' ``SlicedSeparableSum`` (used by the reference's Youla
+    example, examples/youla.jl:198-205).
+
+    ``BlockSet([(set1, d1), (set2, d2), ...])`` projects slice
+    ``[0:d1]`` with set1, ``[d1:d1+d2]`` with set2, etc.  Stateful member
+    sets (e.g. CG-backed AffineSet) carry their state in a tuple.
+    """
+
+    def __init__(self, blocks):
+        self.sets = tuple(s for s, _ in blocks)
+        self.dims = tuple(int(d) for _, d in blocks)
+
+    def tree_flatten(self):
+        return (self.sets,), (self.dims,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj.sets = tuple(children[0])
+        obj.dims = aux[0]
+        return obj
+
+    @property
+    def dim(self):
+        return sum(self.dims)
+
+    def init_state(self, dtype):
+        return tuple(s.init_state(dtype) for s in self.sets)
+
+    def project(self, x, state):
+        outs = []
+        new_state = []
+        off = 0
+        for s, d, st in zip(self.sets, self.dims, state):
+            y, st2 = s.project(x[..., off : off + d], st)
+            outs.append(y)
+            new_state.append(st2)
+            off += d
+        return jnp.concatenate(outs, axis=-1), tuple(new_state)
+
+
+@jax.tree_util.register_pytree_node_class
 class FunctionSet(_StatelessSet):
     """Wrap an arbitrary pure projection ``fn(x) -> y`` (closure constants
     are baked into the jit trace)."""
