@@ -72,6 +72,8 @@ def solve(A=None, b=None, c=None, K1: ConeSpec = None, K2: ConeSpec = None,
         problem,
         direct=getattr(alg, "direct", False),
         cg_max_iters=int(opts.pop("cg_max_iters", 1000)),
+        cg_tol_floor=opts.pop("cg_tol_floor", None),
+        pallas=bool(opts.pop("pallas", False)),
     )
     init_duration = time.time() - t0
     if initx is not None:

@@ -35,7 +35,7 @@ class HSDEAffineProjector:
     """
 
     def __init__(self, A, b, c, inv=None, *, direct=False, decreasing_accuracy=True,
-                 cg_max_iters=1000):
+                 cg_max_iters=1000, tol_floor=None):
         self.A = A
         self.b = b
         self.c = c
@@ -43,6 +43,7 @@ class HSDEAffineProjector:
         self.direct = direct
         self.decreasing_accuracy = decreasing_accuracy
         self.cg_max_iters = cg_max_iters
+        self.tol_floor = tol_floor
 
     # -- pytree protocol --------------------------------------------------
     def tree_flatten(self):
@@ -50,26 +51,28 @@ class HSDEAffineProjector:
             self.direct,
             self.decreasing_accuracy,
             self.cg_max_iters,
+            self.tol_floor,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         A, b, c, inv = children
-        direct, decreasing, cg_max = aux
+        direct, decreasing, cg_max, tol_floor = aux
         return cls(A, b, c, inv, direct=direct, decreasing_accuracy=decreasing,
-                   cg_max_iters=cg_max)
+                   cg_max_iters=cg_max, tol_floor=tol_floor)
 
     # ---------------------------------------------------------------------
     @classmethod
     def create(cls, A, b, c, *, direct=False, decreasing_accuracy=True,
-               cg_max_iters=1000):
+               cg_max_iters=1000, tol_floor=None):
         inv = None
         if direct:
             Qd = hsde_ops.q_dense(A, b, c)
             l = Qd.shape[0]
             inv = jnp.linalg.inv(jnp.eye(l, dtype=Qd.dtype) + Qd.T @ Qd)
         return cls(A, b, c, inv, direct=direct,
-                   decreasing_accuracy=decreasing_accuracy, cg_max_iters=cg_max_iters)
+                   decreasing_accuracy=decreasing_accuracy,
+                   cg_max_iters=cg_max_iters, tol_floor=tol_floor)
 
     @property
     def l(self) -> int:
@@ -96,7 +99,9 @@ class HSDEAffineProjector:
                              jnp.asarray(0, jnp.int32))
         else:
             warm = jnp.where(cg.initialized, cg.warm, u0)
-            floor = 2 * l * jnp.finfo(z.dtype).eps
+            # reference floor: size(KKT,2)*eps = 2l*eps (affinepluslinear.jl:108).
+            # Overridable: 2l*eps(f32) is coarse for large l on the TPU path.
+            floor = self.tol_floor if self.tol_floor is not None else 2 * l * jnp.finfo(z.dtype).eps
             if self.decreasing_accuracy:
                 tol = decreasing_tolerance(cg.call_idx, floor, z.dtype)
             else:

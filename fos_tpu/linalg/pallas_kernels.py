@@ -130,7 +130,10 @@ class PaddedDenseOp:
         return cls(children[0], *aux)
 
     @classmethod
-    def create(cls, A, bm: int = 512, bn: int = 512, interpret: bool = False):
+    def create(cls, A, bm: int = 512, bn: int = 512, interpret: bool = None):
+        if interpret is None:
+            # Mosaic compiles only on TPU; fall back to interpret elsewhere
+            interpret = jax.default_backend() == "cpu"
         A = jnp.asarray(A, jnp.float32)
         m, n = A.shape
         mp, np_ = _round_up(m, bm), _round_up(n, bn)

@@ -103,6 +103,9 @@ class FeasibilityForm:
             import numpy as np
 
             hist.push("z", i, np.asarray(st.z_check))
+            # 'extra' channel: intermediate projection snapshots around the
+            # check (role of FeasibilityStatus.logextra, FeasibilityStatus.jl:19-25)
+            hist.push("extra", i, [np.asarray(st.z_check_prev), np.asarray(st.z_check)])
 
 
 def populate_feasibility_solution(form, guess, status_code: int, iters: int,
