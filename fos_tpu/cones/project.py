@@ -156,8 +156,14 @@ def _soc_project_flat(vals, seg, head, nseg):
     return jnp.moveaxis(out, 0, -1)
 
 
-def make_projector(blocks: Tuple[Tuple[Cone, int], ...]) -> Callable:
-    """Compile a fused projection function for a product of cones."""
+def make_projector(blocks: Tuple[Tuple[Cone, int], ...],
+                   psd_method: str = "eigh") -> Callable:
+    """Compile a fused projection function for a product of cones.
+
+    ``psd_method``: "eigh" (default) or "poly" — the factorization-free
+    matmul-only Newton-Schulz filter (cones/psd_poly.py), the MXU-native
+    fast path for large/batched PSD blocks.
+    """
     plan = _build_plan(tuple(blocks))
     lo = plan["lo"]
     hi = plan["hi"]
@@ -195,7 +201,7 @@ def make_projector(blocks: Tuple[Tuple[Cone, int], ...]) -> Callable:
                 )
             y = y.at[..., soc["idx"]].set(out)
         for grp in plan["psd"]:
-            y = _psd_project_group(x, y, grp)
+            y = _psd_project_group(x, y, grp, psd_method)
         if plan["exp"] is not None:
             v = x[..., plan["exp"]]  # (..., k, 3)
             out = _apply_exp(v, exp_cone.project_exp_single)
@@ -232,7 +238,7 @@ def _rot_positions(soc):
     return _rot_positions_cached(tuple(soc["idx"]), tuple(soc["rot_p"]))
 
 
-def _psd_project_group(x, y, grp):
+def _psd_project_group(x, y, grp, psd_method: str = "eigh"):
     """Batched PSD projection for all blocks of one matrix side.
 
     Matches ProximalOperators ``IndPSD(scaling=true)``: the svec vector holds
@@ -247,31 +253,50 @@ def _psd_project_group(x, y, grp):
     X = jnp.zeros((*batch_shape, side, side), dtype=x.dtype)
     X = X.at[..., grp["rows"], grp["cols"]].set(tri)
     X = X.at[..., grp["cols"], grp["rows"]].set(tri)
-    w, V = jnp.linalg.eigh(X)
-    w = jnp.maximum(w, 0.0)
-    Xp = jnp.einsum("...ik,...k,...jk->...ij", V, w, V)
+    if psd_method == "poly":
+        from fos_tpu.cones.psd_poly import psd_project_poly
+
+        Xp = psd_project_poly(X)
+    else:
+        w, V = jnp.linalg.eigh(X)
+        w = jnp.maximum(w, 0.0)
+        Xp = jnp.einsum("...ik,...k,...jk->...ij", V, w, V)
     out = Xp[..., grp["rows"], grp["cols"]] * (1.0 / unscale)
     return y.at[..., grp["gather"]].set(out)
 
 
 @functools.lru_cache(maxsize=None)
-def _projector_for(blocks):
-    return make_projector(blocks)
+def _projector_for(blocks, psd_method="eigh"):
+    return make_projector(blocks, psd_method)
 
 
-def project(spec: ConeSpec, x):
+def resolve_psd_method(psd_method: str) -> str:
+    """"auto" -> "poly" on accelerators, "eigh" on CPU.
+
+    Measured on TPU v5e (f32, batched 64x64): the matmul-only filter is both
+    ~9x faster AND ~5000x more accurate than XLA's f32 eigh (3.7e-7 vs
+    2.1e-3 max error against f64 ground truth).
+    """
+    if psd_method == "auto":
+        import jax as _jax
+
+        return "poly" if _jax.default_backend() != "cpu" else "eigh"
+    return psd_method
+
+
+def project(spec: ConeSpec, x, psd_method: str = "auto"):
     """Project ``x`` onto the cone product described by ``spec``."""
-    return _projector_for(spec.blocks)(x)
+    return _projector_for(spec.blocks, resolve_psd_method(psd_method))(x)
 
 
-def project_dual(spec: ConeSpec, x):
+def project_dual(spec: ConeSpec, x, psd_method: str = "auto"):
     """Project ``x`` onto the dual cone product.
 
     Reference semantics: ``proxDual!(y, C, x) = x + prox(C, -x)`` with
     closed-form shortcuts (src/cones.jl:80-102); here duality is resolved at
     the spec level instead.
     """
-    return _projector_for(spec.dual().blocks)(x)
+    return _projector_for(spec.dual().blocks, resolve_psd_method(psd_method))(x)
 
 
 def svec(X, scaled: bool = True):

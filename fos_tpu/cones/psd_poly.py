@@ -1,0 +1,86 @@
+"""Factorization-free PSD projection via polynomial filtering.
+
+``eigh`` is the pacing kernel for SDP cone projections (SURVEY.md §7 "hard
+parts") and maps poorly to the MXU.  Following the idea of composite
+polynomial filtering (see PAPERS.md: "Factorization-free Orthogonal
+Projection onto the Positive Semidefinite Cone with Composite Polynomial
+Filtering"), the projection
+
+    P_{S+}(X) = (X + |X|) / 2,     |X| = X * sign(X)
+
+is computed with a matrix-polynomial approximation of ``sign``: scale X so
+its spectrum lies in [-1, 1], run a few accelerated (quintic) Newton-Schulz
+iterations followed by cubic polishing — every operation is a batched
+matmul, i.e. MXU-native and fully vmappable over PSD blocks.
+
+Accuracy: eigenvalues with |lambda| >= ~1e-3 * ||X||_2 are classified
+essentially exactly; eigenvalues below that threshold contribute at most
+their own magnitude to the projection error.  This is an f32 fast path for
+large/batched SDP blocks; ``eigh`` remains the default.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# Quintic iteration coefficients (composite polynomial acceleration in the
+# flat region near 0): z <- a z + b z^3 + c z^5 keeps |z|<=1 and expands
+# small |z| aggressively; finish with pure cubic NS for contraction to ±1.
+_QUINTIC = (3.4445, -4.7750, 2.0315)
+
+
+def _mm(a, b):
+    # MXU matmuls truncate inputs to bf16 by default; the sign iteration
+    # needs full f32 (measured: default precision costs ~1e-2 relative error)
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+def _matrix_sign(Y, quintic_iters: int, cubic_iters: int):
+    a, b, c = _QUINTIC
+
+    def quintic(Z, _):
+        Z2 = _mm(Z, Z)
+        Z3 = _mm(Z2, Z)
+        Z5 = _mm(Z2, Z3)
+        return a * Z + b * Z3 + c * Z5, None
+
+    def cubic(Z, _):
+        return 1.5 * Z - 0.5 * _mm(_mm(Z, Z), Z), None
+
+    Z, _ = jax.lax.scan(quintic, Y, None, length=quintic_iters)
+    Z, _ = jax.lax.scan(cubic, Z, None, length=cubic_iters)
+    return Z
+
+
+def _spectral_bound(X, iters: int = 8):
+    """Tight upper estimate of ||X||_2: power iteration with safety margin,
+    clipped by the Frobenius bound.  Scaling by the loose Frobenius norm
+    shrinks the spectrum by ~sqrt(d), starving the sign iteration's
+    convergence for small eigenvalues."""
+    d = X.shape[-1]
+    fro = jnp.linalg.norm(X, axis=(-2, -1), keepdims=True)
+    v = jnp.ones((*X.shape[:-1], 1), X.dtype) / np.sqrt(d)
+
+    def body(v, _):
+        w = _mm(X, v)
+        w = _mm(X, w)  # X^2 v: converges on |lambda|_max regardless of sign
+        return w / jnp.maximum(jnp.linalg.norm(w, axis=(-2, -1), keepdims=True), 1e-30), None
+
+    v, _ = jax.lax.scan(body, v, None, length=iters)
+    lam = jnp.linalg.norm(_mm(X, v), axis=(-2, -1), keepdims=True)
+    est = jnp.minimum(1.1 * lam, fro)
+    return jnp.where(est > 0, est, 1.0)
+
+
+def psd_project_poly(X, *, quintic_iters: int = 10, cubic_iters: int = 12):
+    """Project symmetric ``X`` (..., d, d) onto the PSD cone, matmul-only."""
+    R = _spectral_bound(X)
+    Y = X / R
+    Z = _matrix_sign(Y, quintic_iters, cubic_iters)
+    absX = _mm(X, Z)  # = |X| up to the sign-approximation error (X, Z commute)
+    Xp = 0.5 * (X + absX)
+    # symmetrize (the iteration preserves symmetry only up to rounding)
+    return 0.5 * (Xp + jnp.swapaxes(Xp, -1, -2))

@@ -74,6 +74,7 @@ def solve(A=None, b=None, c=None, K1: ConeSpec = None, K2: ConeSpec = None,
         cg_max_iters=int(opts.pop("cg_max_iters", 1000)),
         cg_tol_floor=opts.pop("cg_tol_floor", None),
         pallas=bool(opts.pop("pallas", False)),
+        psd_method=str(opts.pop("psd_method", "auto")),
     )
     init_duration = time.time() - t0
     if initx is not None:

@@ -79,7 +79,7 @@ class HSDEForm:
     @classmethod
     def build(cls, problem: ConicProblem, *, direct: bool = False,
               cg_max_iters: int = 1000, pallas: bool = False,
-              cg_tol_floor: float = None) -> "HSDEForm":
+              cg_tol_floor: float = None, psd_method: str = "auto") -> "HSDEForm":
         A = problem.A
         # NOTE on pallas: measured on TPU v5e, XLA already fuses the
         # (A@z1, A'@z2) pair of the Q matvec into a single HBM pass at the
@@ -95,7 +95,7 @@ class HSDEForm:
             direct=direct, decreasing_accuracy=not direct,
             cg_max_iters=cg_max_iters, tol_floor=cg_tol_floor,
         )
-        s2 = ConeSet(hsde_cone_spec(problem.K1, problem.K2))
+        s2 = ConeSet(hsde_cone_spec(problem.K1, problem.K2), psd_method)
         assert s2.spec.dim == 2 * s1.l
         return cls(
             TwoSets(s1, s2), A, problem.b, problem.c,

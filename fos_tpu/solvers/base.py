@@ -91,21 +91,22 @@ def capture_ineq(planes, x, y):
 class ConeSet:
     """Stateless projectable set backed by a compiled cone projector."""
 
-    def __init__(self, spec: ConeSpec):
+    def __init__(self, spec: ConeSpec, psd_method: str = "auto"):
         self.spec = spec
+        self.psd_method = psd_method
 
     def tree_flatten(self):
-        return (), (self.spec,)
+        return (), (self.spec, self.psd_method)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(aux[0])
+        return cls(*aux)
 
     def init_state(self, dtype):
         return ()
 
     def project(self, x, state):
-        return cone_project(self.spec, x), state
+        return cone_project(self.spec, x, self.psd_method), state
 
 
 @jax.tree_util.register_pytree_node_class

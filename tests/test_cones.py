@@ -227,3 +227,26 @@ def test_batched_projection(rng):
         np.testing.assert_allclose(
             Y[i], np.asarray(project(spec, jnp.asarray(X[i]))), atol=1e-13
         )
+
+
+def test_psd_poly_matches_eigh(rng):
+    # factorization-free PSD projection (cones/psd_poly.py) vs eigh oracle
+    from fos_tpu.cones.psd_poly import psd_project_poly
+    import jax
+
+    for d in (5, 16, 48):
+        B = rng.standard_normal((4, d, d))
+        X = jnp.asarray((B + np.swapaxes(B, -1, -2)) / 2)
+        Yp = np.asarray(psd_project_poly(X))
+        for i in range(4):
+            w, V = np.linalg.eigh(np.asarray(X[i]))
+            Ye = (V * np.maximum(w, 0)) @ V.T
+            np.testing.assert_allclose(Yp[i], Ye, atol=1e-9)
+
+
+def test_project_psd_method_option(rng):
+    spec = ConeSpec.concat([nonneg(3), psd(6)])
+    x = jnp.asarray(rng.standard_normal(spec.dim))
+    y_eigh = np.asarray(project(spec, x, psd_method="eigh"))
+    y_poly = np.asarray(project(spec, x, psd_method="poly"))
+    np.testing.assert_allclose(y_poly, y_eigh, atol=1e-9)
