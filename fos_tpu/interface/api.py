@@ -75,6 +75,7 @@ def solve(A=None, b=None, c=None, K1: ConeSpec = None, K2: ConeSpec = None,
         cg_tol_floor=opts.pop("cg_tol_floor", None),
         pallas=bool(opts.pop("pallas", False)),
         psd_method=str(opts.pop("psd_method", "auto")),
+        cg_variant=str(opts.pop("cg_variant", "standard")),
     )
     init_duration = time.time() - t0
     if initx is not None:

@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from fos_tpu.linalg import hsde_ops
-from fos_tpu.linalg.cg import CGState, conjugate_gradient, decreasing_tolerance
+from fos_tpu.linalg.cg import (CGState, conjugate_gradient,
+                               conjugate_gradient_pipelined, decreasing_tolerance)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -35,7 +36,7 @@ class HSDEAffineProjector:
     """
 
     def __init__(self, A, b, c, inv=None, *, direct=False, decreasing_accuracy=True,
-                 cg_max_iters=1000, tol_floor=None):
+                 cg_max_iters=1000, tol_floor=None, cg_variant="standard"):
         self.A = A
         self.b = b
         self.c = c
@@ -44,6 +45,7 @@ class HSDEAffineProjector:
         self.decreasing_accuracy = decreasing_accuracy
         self.cg_max_iters = cg_max_iters
         self.tol_floor = tol_floor
+        self.cg_variant = cg_variant
 
     # -- pytree protocol --------------------------------------------------
     def tree_flatten(self):
@@ -52,19 +54,20 @@ class HSDEAffineProjector:
             self.decreasing_accuracy,
             self.cg_max_iters,
             self.tol_floor,
+            self.cg_variant,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         A, b, c, inv = children
-        direct, decreasing, cg_max, tol_floor = aux
+        direct, decreasing, cg_max, tol_floor, cg_variant = aux
         return cls(A, b, c, inv, direct=direct, decreasing_accuracy=decreasing,
-                   cg_max_iters=cg_max, tol_floor=tol_floor)
+                   cg_max_iters=cg_max, tol_floor=tol_floor, cg_variant=cg_variant)
 
     # ---------------------------------------------------------------------
     @classmethod
     def create(cls, A, b, c, *, direct=False, decreasing_accuracy=True,
-               cg_max_iters=1000, tol_floor=None):
+               cg_max_iters=1000, tol_floor=None, cg_variant="standard"):
         inv = None
         if direct:
             Qd = hsde_ops.q_dense(A, b, c)
@@ -72,7 +75,8 @@ class HSDEAffineProjector:
             inv = jnp.linalg.inv(jnp.eye(l, dtype=Qd.dtype) + Qd.T @ Qd)
         return cls(A, b, c, inv, direct=direct,
                    decreasing_accuracy=decreasing_accuracy,
-                   cg_max_iters=cg_max_iters, tol_floor=tol_floor)
+                   cg_max_iters=cg_max_iters, tol_floor=tol_floor,
+                   cg_variant=cg_variant)
 
     @property
     def l(self) -> int:
@@ -106,7 +110,9 @@ class HSDEAffineProjector:
                 tol = decreasing_tolerance(cg.call_idx, floor, z.dtype)
             else:
                 tol = jnp.asarray(floor, z.dtype)
-            res = conjugate_gradient(
+            cg_fn = (conjugate_gradient_pipelined if self.cg_variant == "pipelined"
+                     else conjugate_gradient)
+            res = cg_fn(
                 lambda x: hsde_ops.hsde_normal_mul(self.A, self.b, self.c, x),
                 rhs, warm, tol=tol, max_iters=self.cg_max_iters,
             )

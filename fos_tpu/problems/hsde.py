@@ -79,7 +79,8 @@ class HSDEForm:
     @classmethod
     def build(cls, problem: ConicProblem, *, direct: bool = False,
               cg_max_iters: int = 1000, pallas: bool = False,
-              cg_tol_floor: float = None, psd_method: str = "auto") -> "HSDEForm":
+              cg_tol_floor: float = None, psd_method: str = "auto",
+              cg_variant: str = "standard") -> "HSDEForm":
         A = problem.A
         # NOTE on pallas: measured on TPU v5e, XLA already fuses the
         # (A@z1, A'@z2) pair of the Q matvec into a single HBM pass at the
@@ -94,6 +95,7 @@ class HSDEForm:
             A, problem.b, problem.c,
             direct=direct, decreasing_accuracy=not direct,
             cg_max_iters=cg_max_iters, tol_floor=cg_tol_floor,
+            cg_variant=cg_variant,
         )
         s2 = ConeSet(hsde_cone_spec(problem.K1, problem.K2), psd_method)
         assert s2.spec.dim == 2 * s1.l

@@ -153,3 +153,49 @@ def test_projector_jit_roundtrip(rng):
     y2, _ = proj.project(z, proj.init_cg_state(z.dtype))
     np.testing.assert_allclose(np.asarray(y), np.asarray(y2), atol=1e-10)
     assert int(cg.call_idx) == 2
+
+
+def test_pipelined_cg_matches_standard(rng):
+    from fos_tpu.linalg.cg import conjugate_gradient_pipelined
+
+    n = 300
+    B = rng.standard_normal((n, n))
+    A = jnp.asarray(B @ B.T + n * np.eye(n))
+    xstar = jnp.asarray(rng.standard_normal(n))
+    b = A @ xstar
+    r1 = conjugate_gradient(lambda v: A @ v, b, jnp.zeros(n), tol=1e-10,
+                            max_iters=5000)
+    r2 = conjugate_gradient_pipelined(lambda v: A @ v, b, jnp.zeros(n),
+                                      tol=1e-10, max_iters=5000)
+    np.testing.assert_allclose(np.asarray(r2.x), np.asarray(xstar), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x), atol=1e-8)
+    assert abs(int(r1.iters) - int(r2.iters)) <= 2
+
+
+def test_pipelined_cg_solver_e2e(rng):
+    # full HSDE solve with the communication-reduced CG variant
+    from fos_tpu.cones import nonneg as nn
+    from fos_tpu.problems.conic import conic_problem
+    from fos_tpu.problems.hsde import HSDEForm
+    from fos_tpu.solvers import engine
+    from fos_tpu.solvers.base import GAP
+    from fos_tpu.solvers.status import Status
+
+    m, n = 20, 30
+    A = rng.standard_normal((m, n))
+    x0 = np.abs(rng.standard_normal(n))
+    b = A @ x0 + np.abs(rng.standard_normal(m))
+    c = np.abs(rng.standard_normal(n))
+    prob = conic_problem(jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
+                         nn(m), nn(n))
+    f_std = HSDEForm.build(prob)
+    f_pip = HSDEForm.build(prob, cg_variant="pipelined")
+    alg = GAP(0.5, 2.0, 2.0)
+    r1 = engine.run(f_std, alg, max_iters=20000, eps=1e-8, checki=100, verbose=0)
+    r2 = engine.run(f_pip, alg, max_iters=20000, eps=1e-8, checki=100, verbose=0)
+    assert r1.status == r2.status == Status.OPTIMAL
+    l = m + n + 1
+    x1 = np.asarray(r1.guess[:n] / r1.guess[l - 1])
+    x2 = np.asarray(r2.guess[:n] / r2.guess[l - 1])
+    obj1, obj2 = float(c @ x1), float(c @ x2)
+    assert abs(obj1 - obj2) <= 1e-6 * (1 + abs(obj1))
