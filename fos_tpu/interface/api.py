@@ -76,6 +76,7 @@ def solve(A=None, b=None, c=None, K1: ConeSpec = None, K2: ConeSpec = None,
         pallas=bool(opts.pop("pallas", False)),
         psd_method=str(opts.pop("psd_method", "auto")),
         cg_variant=str(opts.pop("cg_variant", "standard")),
+        equilibrate=bool(opts.pop("equilibrate", False)),
     )
     init_duration = time.time() - t0
     if initx is not None:

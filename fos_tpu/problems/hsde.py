@@ -55,33 +55,58 @@ class HSDECheck(NamedTuple):
 class HSDEForm:
     """Problem form driving the generic iteration engine."""
 
-    def __init__(self, sets: TwoSets, A, b, c, norm_b, norm_c, n: int, m: int):
+    def __init__(self, sets: TwoSets, A, b, c, norm_b, norm_c, n: int, m: int,
+                 dinv=None, einv=None):
         self.sets = sets
         self.A = A
         self.b = b
         self.c = c
-        self.norm_b = norm_b
-        self.norm_c = norm_c
+        self.norm_b = norm_b      # ORIGINAL ||b|| (pre-equilibration)
+        self.norm_c = norm_c      # ORIGINAL ||c||
         self.n = n
         self.m = m
+        self.dinv = dinv          # residual unscaling weights (equilibration)
+        self.einv = einv
 
     def tree_flatten(self):
-        return (self.sets, self.A, self.b, self.c, self.norm_b, self.norm_c), (
-            self.n,
-            self.m,
-        )
+        return (self.sets, self.A, self.b, self.c, self.norm_b, self.norm_c,
+                self.dinv, self.einv), (self.n, self.m)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        sets, A, b, c, nb, nc, dinv, einv = children
+        n, m = aux
+        return cls(sets, A, b, c, nb, nc, n, m, dinv, einv)
 
     # ------------------------------------------------------------------
     @classmethod
     def build(cls, problem: ConicProblem, *, direct: bool = False,
               cg_max_iters: int = 1000, pallas: bool = False,
               cg_tol_floor: float = None, psd_method: str = "auto",
-              cg_variant: str = "standard") -> "HSDEForm":
+              cg_variant: str = "standard",
+              equilibrate: bool = False, equilibrate_iters: int = 10) -> "HSDEForm":
         A = problem.A
+        b = problem.b
+        c = problem.c
+        norm_b = jnp.linalg.norm(b)
+        norm_c = jnp.linalg.norm(c)
+        dinv = einv = None
+        if equilibrate:
+            from fos_tpu.problems.scaling import ruiz_equilibrate
+
+            if hasattr(A, "todense"):
+                raise ValueError("equilibrate requires dense A")
+            dtype = b.dtype
+            As, bs, cs, dvec, evec = ruiz_equilibrate(
+                A, b, c, problem.K1, problem.K2, iters=equilibrate_iters)
+            A = jnp.asarray(As, dtype)
+            b = jnp.asarray(bs, dtype)
+            c = jnp.asarray(cs, dtype)
+            dinv = jnp.asarray(1.0 / dvec, dtype)
+            einv = jnp.asarray(1.0 / evec, dtype)
+            import dataclasses as _dc
+
+            problem = _dc.replace(problem, A=A, b=b, c=c)
         # NOTE on pallas: measured on TPU v5e, XLA already fuses the
         # (A@z1, A'@z2) pair of the Q matvec into a single HBM pass at the
         # practical bandwidth ceiling (pair ~= single matvec cost), so the
@@ -92,7 +117,7 @@ class HSDEForm:
             if not isinstance(A, PaddedDenseOp):
                 A = PaddedDenseOp.create(A)
         s1 = HSDEAffineProjector.create(
-            A, problem.b, problem.c,
+            A, b, c,
             direct=direct, decreasing_accuracy=not direct,
             cg_max_iters=cg_max_iters, tol_floor=cg_tol_floor,
             cg_variant=cg_variant,
@@ -100,9 +125,8 @@ class HSDEForm:
         s2 = ConeSet(hsde_cone_spec(problem.K1, problem.K2), psd_method)
         assert s2.spec.dim == 2 * s1.l
         return cls(
-            TwoSets(s1, s2), A, problem.b, problem.c,
-            jnp.linalg.norm(problem.b), jnp.linalg.norm(problem.c),
-            problem.n, problem.m,
+            TwoSets(s1, s2), A, b, c, norm_b, norm_c,
+            problem.n, problem.m, dinv, einv,
         )
 
     @property
@@ -151,8 +175,12 @@ class HSDEForm:
         nb, nc = self.norm_b, self.norm_c
         Ax = hsde_ops.mv(A, x)
         ATy = hsde_ops.rmv(A, y)
-        p_num = jnp.linalg.norm(Ax / tau + s / tau - b)
-        d_num = jnp.linalg.norm(ATy / tau + c - r / tau)
+        # With equilibration the residual vectors are unscaled back to the
+        # ORIGINAL problem (D^{-1}, E^{-1} weights); norms nb/nc are original.
+        wp = self.dinv if self.dinv is not None else 1.0
+        wd = self.einv if self.einv is not None else 1.0
+        p_num = jnp.linalg.norm(wp * (Ax / tau + s / tau - b))
+        d_num = jnp.linalg.norm(wd * (ATy / tau + c - r / tau))
         ctx = jnp.vdot(c, x)
         bty = jnp.vdot(b, y)
         p = p_num / (1.0 + nb)
@@ -161,8 +189,8 @@ class HSDEForm:
         g = jnp.abs(ctx / tau + bty / tau) / gden
 
         optimal = (p <= eps * (1.0 + nb)) & (d <= eps * (1.0 + nc)) & (g <= eps * gden)
-        unbounded = jnp.linalg.norm(Ax + s) <= eps * (-ctx / nc)
-        infeasible = jnp.linalg.norm(ATy) <= eps * (-bty / nb)
+        unbounded = jnp.linalg.norm(wp * (Ax + s)) <= eps * (-ctx / nc)
+        infeasible = jnp.linalg.norm(wd * ATy) <= eps * (-bty / nb)
         status = jnp.where(
             optimal,
             Status.OPTIMAL,
@@ -241,7 +269,14 @@ def populate_solution(form: HSDEForm, guess, status_code: int, iters: int,
     if status == "Continue":
         status = "Indeterminate"
     xs = x / tau
+    ys = y / tau
+    ss = s / tau
+    objval = float(jnp.vdot(form.c, xs))  # (Ec)'xh == c'x: exact either way
+    if form.einv is not None:
+        xs = xs / form.einv       # x = E xh
+        ys = ys / form.dinv       # y = D yh
+        ss = ss * form.dinv       # s = D^{-1} sh
     return Solution(
-        x=xs, y=y / tau, s=s / tau, status=status,
-        objval=float(jnp.vdot(form.c, xs)), iters=iters, history=history,
+        x=xs, y=ys, s=ss, status=status,
+        objval=objval, iters=iters, history=history,
     )
