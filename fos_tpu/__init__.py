@@ -32,6 +32,7 @@ from fos_tpu.solvers import (  # noqa: F401
     GAP,
     GAPA,
     GAPP,
+    AndersonWrapper,
     LineSearchWrapper,
     LongstepWrapper,
 )

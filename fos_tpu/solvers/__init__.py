@@ -12,6 +12,10 @@ from fos_tpu.solvers.base import (  # noqa: F401
     TwoSets,
     init_solver_state,
 )
-from fos_tpu.solvers.wrappers import LineSearchWrapper, LongstepWrapper  # noqa: F401
+from fos_tpu.solvers.wrappers import (  # noqa: F401
+    AndersonWrapper,
+    LineSearchWrapper,
+    LongstepWrapper,
+)
 from fos_tpu.solvers.status import Status  # noqa: F401
 from fos_tpu.solvers import engine  # noqa: F401

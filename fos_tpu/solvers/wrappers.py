@@ -127,6 +127,84 @@ def _project_on_planes(x, A, b, nsave: int, iters: int = 400):
 
 
 @dataclass(frozen=True)
+class AndersonWrapper(Algorithm):
+    """Anderson acceleration (type II) of the wrapped algorithm's fixed-point
+    iteration — the accelerator modern splitting solvers (SCS >= 3.0) ship;
+    the reference has no equivalent.
+
+    Keeps a ring buffer of the last ``memory`` (x_j, f_j = step(x_j) - x_j)
+    pairs and replaces the iterate with the residual-minimizing affine
+    combination ``x+ = sum a_j (x_j + f_j)``, ``sum a_j = 1``, solved from
+    the regularized k x k Gram system.  Safeguard: if the step residual grew
+    by more than ``safeguard`` since the previous iteration the memory is
+    flushed and the plain step is used (jit-safe: everything is masked
+    arithmetic, no host control flow).
+    """
+
+    alg: Algorithm = None
+    memory: int = 10
+    reg: float = 1e-10
+    safeguard: float = 2.0
+    options: Tuple[Tuple[str, Any], ...] = ()
+
+    def init_aux(self, x0):
+        k = self.memory
+        dim = x0.shape[0]
+        return (
+            self.alg.init_aux(x0),
+            jnp.zeros((k, dim), x0.dtype),            # X buffer
+            jnp.zeros((k, dim), x0.dtype),            # F buffer
+            jnp.asarray(0, jnp.int32),                # count (since last reset)
+            jnp.asarray(jnp.inf, x0.dtype),           # previous residual norm
+        )
+
+    def coeffs(self, aux):
+        return self.alg.coeffs(aux[0])
+
+    def step(self, sets, st: SolverState) -> SolverState:
+        inner_aux, Xb, Fb, count, prev_fn = st.aux
+        k = self.memory
+
+        st_inner = st._replace(aux=inner_aux)
+        st2 = self.alg.step(sets, st_inner)
+        x_plain = st2.x
+        f = x_plain - st.x
+        fn = jnp.linalg.norm(f)
+
+        # safeguard: residual grew too much -> flush memory, take plain step
+        reset = fn > self.safeguard * prev_fn
+        count = jnp.where(reset, 0, count)
+
+        slot = count % k
+        Xb = Xb.at[slot].set(st.x)
+        Fb = Fb.at[slot].set(f)
+        count = count + 1
+
+        filled = (jnp.arange(k) < count)
+        # Gram system with unfilled slots masked out by a large diagonal
+        M = Fb @ Fb.T
+        big = jnp.asarray(1e30, st.x.dtype)
+        M = M + self.reg * jnp.trace(M) * jnp.eye(k, dtype=st.x.dtype)
+        M = M + jnp.where(filled, 0.0, big) * jnp.eye(k, dtype=st.x.dtype)
+        ones = jnp.ones(k, st.x.dtype)
+        w = jnp.linalg.solve(M, ones)
+        alpha = w / jnp.sum(w)
+        x_aa = alpha @ (Xb + Fb)
+
+        # use AA once we have >= 2 pairs and the solve stayed finite
+        use_aa = (count >= 2) & jnp.all(jnp.isfinite(x_aa))
+        x_new = jnp.where(use_aa, x_aa, x_plain)
+
+        return st2._replace(x=x_new, aux=(st2.aux, Xb, Fb, count, fn))
+
+    def getsol(self, sets, st):
+        inner_aux = st.aux[0]
+        st_inner = st._replace(aux=inner_aux)
+        guess, st_inner = self.alg.getsol(sets, st_inner)
+        return guess, st_inner._replace(aux=(st_inner.aux, *st.aux[1:]))
+
+
+@dataclass(frozen=True)
 class LongstepWrapper(Algorithm):
     """During the ``nsave+1`` iterations before each ``longinterval``
     boundary, record the supporting hyperplanes of every projection; at the

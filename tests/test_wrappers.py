@@ -135,3 +135,45 @@ def test_project_on_planes_oracle(rng):
         options={"maxiter": 500, "ftol": 1e-14},
     )
     assert 0.5 * np.sum((y2 - x) ** 2) <= res.fun + 1e-6
+
+
+def test_anderson_acceleration_lp(rng):
+    from fos_tpu import AndersonWrapper, solve
+    from fos_tpu.cones import nonneg
+
+    m, n = 20, 30
+    A = rng.standard_normal((m, n))
+    x0 = np.abs(rng.standard_normal(n))
+    b = A @ x0 + np.abs(rng.standard_normal(m))
+    c = np.abs(rng.standard_normal(n))
+    plain = solve(A, b, c, nonneg(m), nonneg(n), alg=DR(), eps=1e-8, verbose=0,
+                  max_iters=40000)
+    aa = solve(A, b, c, nonneg(m), nonneg(n), alg=AndersonWrapper(alg=DR()),
+               eps=1e-8, verbose=0, max_iters=40000)
+    assert plain.status == aa.status == "Optimal"
+    assert aa.iters <= plain.iters  # measured ~10x fewer on this family
+    assert abs(aa.objval - plain.objval) <= 1e-5 * (1 + abs(plain.objval))
+
+
+def test_anderson_fused(rng):
+    # AA state is an ordinary pytree: works inside the fused on-device solve
+    import jax.numpy as jnp
+    from fos_tpu import AndersonWrapper
+    from fos_tpu.cones import nonneg
+    from fos_tpu.problems.conic import conic_problem
+    from fos_tpu.problems.hsde import HSDEForm
+    from fos_tpu.solvers.engine import fused_solve
+    from fos_tpu.solvers.status import Status
+
+    m, n = 16, 24
+    A = rng.standard_normal((m, n))
+    x0 = np.abs(rng.standard_normal(n))
+    b = A @ x0 + np.abs(rng.standard_normal(m))
+    c = np.abs(rng.standard_normal(n))
+    prob = conic_problem(jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
+                         nonneg(m), nonneg(n))
+    form = HSDEForm.build(prob)
+    res = fused_solve(AndersonWrapper(alg=DR()), form,
+                      form.initial_value(form.dtype), max_iters=20000,
+                      eps=1e-7, checki=100)
+    assert int(res.status) == Status.OPTIMAL
