@@ -181,10 +181,18 @@ class AndersonWrapper(Algorithm):
         count = count + 1
 
         filled = (jnp.arange(k) < count)
-        # Gram system with unfilled slots masked out by a large diagonal
+        # Gram system with unfilled slots masked out by a large diagonal.
+        # Scale the Gram to unit trace (alpha is invariant to scalar
+        # scaling) and regularize relative to dtype precision: in f32 the
+        # raw Gram of near-parallel residuals is numerically singular and
+        # un-regularized AA diverges (measured on TPU).
         M = Fb @ Fb.T
+        tr = jnp.maximum(jnp.trace(M), jnp.asarray(1e-30, st.x.dtype))
+        M = M / tr
+        reg = jnp.maximum(jnp.asarray(self.reg, st.x.dtype),
+                          100.0 * jnp.finfo(st.x.dtype).eps)
         big = jnp.asarray(1e30, st.x.dtype)
-        M = M + self.reg * jnp.trace(M) * jnp.eye(k, dtype=st.x.dtype)
+        M = M + reg * jnp.eye(k, dtype=st.x.dtype)
         M = M + jnp.where(filled, 0.0, big) * jnp.eye(k, dtype=st.x.dtype)
         ones = jnp.ones(k, st.x.dtype)
         w = jnp.linalg.solve(M, ones)
