@@ -22,7 +22,7 @@ from fos_tpu.cones.spec import ConeSpec
 from fos_tpu.problems.conic import ConicProblem, conic_problem
 from fos_tpu.problems.hsde import HSDEForm, Solution, populate_solution
 from fos_tpu.solvers import engine
-from fos_tpu.solvers.base import GAP, DR
+from fos_tpu.solvers.base import DR
 
 
 def solve_feasibility(problem, alg=None, initx=None, **options):

@@ -15,7 +15,6 @@ from __future__ import annotations
 from typing import Iterable, Sequence, Tuple, Union
 
 import numpy as np
-import jax.numpy as jnp
 
 from fos_tpu.cones.spec import Cone, ConeSpec
 

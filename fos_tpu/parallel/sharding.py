@@ -19,7 +19,7 @@ Two axes:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 import jax

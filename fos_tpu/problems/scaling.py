@@ -17,7 +17,6 @@ ORIGINAL problem's residuals.
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 from fos_tpu.cones.spec import ConeSpec, is_elementwise
 

@@ -23,7 +23,7 @@ called inside ``S2!`` right after ``prox!``, src/solvers/gap.jl:53-59).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, NamedTuple, Tuple
 
 import jax

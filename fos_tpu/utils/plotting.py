@@ -7,8 +7,6 @@ from __future__ import annotations
 
 def plothistory(history, key: str = "p", ax=None, **plot_kwargs):
     """Semilog plot of a history series (default: primal residual ``p``)."""
-    import matplotlib
-
     if ax is None:
         import matplotlib.pyplot as plt
 
