@@ -77,6 +77,7 @@ def solve(A=None, b=None, c=None, K1: ConeSpec = None, K2: ConeSpec = None,
         psd_method=str(opts.pop("psd_method", "auto")),
         cg_variant=str(opts.pop("cg_variant", "standard")),
         equilibrate=bool(opts.pop("equilibrate", False)),
+        strict_certificates=bool(opts.pop("strict_certificates", False)),
     )
     init_duration = time.time() - t0
     if initx is not None:

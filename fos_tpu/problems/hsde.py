@@ -56,7 +56,7 @@ class HSDEForm:
     """Problem form driving the generic iteration engine."""
 
     def __init__(self, sets: TwoSets, A, b, c, norm_b, norm_c, n: int, m: int,
-                 dinv=None, einv=None):
+                 dinv=None, einv=None, K2_spec=None, strict_certificates=False):
         self.sets = sets
         self.A = A
         self.b = b
@@ -67,16 +67,19 @@ class HSDEForm:
         self.m = m
         self.dinv = dinv          # residual unscaling weights (equilibration)
         self.einv = einv
+        self.K2_spec = K2_spec
+        self.strict_certificates = strict_certificates
 
     def tree_flatten(self):
         return (self.sets, self.A, self.b, self.c, self.norm_b, self.norm_c,
-                self.dinv, self.einv), (self.n, self.m)
+                self.dinv, self.einv), (self.n, self.m, self.K2_spec,
+                                        self.strict_certificates)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         sets, A, b, c, nb, nc, dinv, einv = children
-        n, m = aux
-        return cls(sets, A, b, c, nb, nc, n, m, dinv, einv)
+        n, m, K2_spec, strict = aux
+        return cls(sets, A, b, c, nb, nc, n, m, dinv, einv, K2_spec, strict)
 
     # ------------------------------------------------------------------
     @classmethod
@@ -84,7 +87,8 @@ class HSDEForm:
               cg_max_iters: int = 1000, pallas: bool = False,
               cg_tol_floor: float = None, psd_method: str = "auto",
               cg_variant: str = "standard",
-              equilibrate: bool = False, equilibrate_iters: int = 10) -> "HSDEForm":
+              equilibrate: bool = False, equilibrate_iters: int = 10,
+              strict_certificates: bool = False) -> "HSDEForm":
         A = problem.A
         b = problem.b
         c = problem.c
@@ -127,6 +131,7 @@ class HSDEForm:
         return cls(
             TwoSets(s1, s2), A, b, c, norm_b, norm_c,
             problem.n, problem.m, dinv, einv,
+            problem.K2, strict_certificates,
         )
 
     @property
@@ -190,7 +195,19 @@ class HSDEForm:
 
         optimal = (p <= eps * (1.0 + nb)) & (d <= eps * (1.0 + nc)) & (g <= eps * gden)
         unbounded = jnp.linalg.norm(wp * (Ax + s)) <= eps * (-ctx / nc)
-        infeasible = jnp.linalg.norm(wd * ATy) <= eps * (-bty / nb)
+        if self.strict_certificates and self.K2_spec is not None:
+            # Full Farkas certificate: y in K1* (guaranteed: z_check is
+            # post-cone-projection) with A'y in K2* and b'y < 0 — measured
+            # as the distance of A'y to K2* (consistent with the dual
+            # residual A'y -> r in K2* as tau -> 0; the reference/SCS test
+            # ||A'y|| ~ 0 only covers the free-variable convention).
+            from fos_tpu.cones.project import project as _proj
+
+            v = (wd * ATy) if self.dinv is not None else ATy
+            cert = v - _proj(self.K2_spec.dual(), v)
+            infeasible = jnp.linalg.norm(cert) <= eps * (-bty / nb)
+        else:
+            infeasible = jnp.linalg.norm(wd * ATy) <= eps * (-bty / nb)
         status = jnp.where(
             optimal,
             Status.OPTIMAL,

@@ -120,3 +120,27 @@ def test_unbounded_lp_detected():
     sol = solve_lp(c, A_ub=A, b_ub=b, alg=DR(), eps=1e-6, max_iters=20000,
                    verbose=0)
     assert sol.status == "Unbounded"
+
+
+def test_strict_infeasibility_certificate():
+    # x >= 0 with x_1 <= -1: infeasible, but the Farkas certificate has
+    # A'y = (y, 0) != 0 — undetectable by the reference's ||A'y|| ~ 0 test
+    # (this exact case reports Indeterminate in reference-parity mode, see
+    # test_infeasible_lp_detected) — strict mode measures dist(-A'y, K2*).
+    c = np.array([1.0, 1.0])
+    A = np.array([[1.0, 0.0]])
+    b = np.array([-1.0])
+    sol_ref = solve_lp(c, A_ub=A, b_ub=b, alg=DR(), eps=1e-6, max_iters=20000,
+                       verbose=0)
+    assert sol_ref.status == "Indeterminate"  # reference-parity behavior
+    sol = solve_lp(c, A_ub=A, b_ub=b, alg=DR(), eps=1e-6, max_iters=20000,
+                   verbose=0, strict_certificates=True)
+    assert sol.status == "Infeasible"
+
+
+def test_strict_mode_no_false_positives():
+    rng = np.random.default_rng(1)
+    A, b, c = _random_feasible_lp(rng, 12, 20)
+    sol = solve_lp(c, A_ub=A, b_ub=b, alg=DR(), eps=1e-8, max_iters=40000,
+                   verbose=0, strict_certificates=True)
+    assert sol.status == "Optimal"
