@@ -144,3 +144,49 @@ def test_strict_mode_no_false_positives():
     sol = solve_lp(c, A_ub=A, b_ub=b, alg=DR(), eps=1e-8, max_iters=40000,
                    verbose=0, strict_certificates=True)
     assert sol.status == "Optimal"
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_socp_battery(seed):
+    # random SOCP: min c'x s.t. ||F_i x + g_i|| <= h_i'x + d_i (2 cones),
+    # x in box via nonneg splits — validated against SLSQP
+    rng = np.random.default_rng(100 + seed)
+    n, k = 8, 4
+    F1 = rng.standard_normal((k, n)) * 0.3
+    F2 = rng.standard_normal((k, n)) * 0.3
+    g1 = rng.standard_normal(k) * 0.1
+    g2 = rng.standard_normal(k) * 0.1
+    c = rng.standard_normal(n)
+
+    # rows: two SOC blocks (1+k each): s = (d_i + h_i'x, -(F_i x + g_i))
+    # with h_i = 0, d_i = 1:  ||F_i x + g_i|| <= 1
+    m = 2 * (1 + k)
+    A = np.zeros((m, n))
+    b = np.zeros(m)
+    r = 0
+    for F, g in ((F1, g1), (F2, g2)):
+        b[r] = 1.0                       # s0 = 1
+        A[r + 1 : r + 1 + k, :] = -F     # s_tail = b - Ax = g + Fx
+        b[r + 1 : r + 1 + k] = g
+        r += 1 + k
+    from fos_tpu.cones import free, soc, ConeSpec
+
+    K1 = ConeSpec.concat([soc(1 + k), soc(1 + k)])
+    K2 = free(n)
+    sol = solve(A, b, c, K1, K2, alg=DR(), eps=1e-8, max_iters=60000, verbose=0)
+    assert sol.status == "Optimal"
+    x = np.asarray(sol.x)
+    assert np.linalg.norm(F1 @ x + g1) <= 1 + 1e-6
+    assert np.linalg.norm(F2 @ x + g2) <= 1 + 1e-6
+
+    from scipy.optimize import minimize
+
+    res = minimize(
+        lambda w: c @ w, np.zeros(n), method="SLSQP",
+        constraints=[
+            {"type": "ineq", "fun": lambda w: 1 - np.linalg.norm(F1 @ w + g1)},
+            {"type": "ineq", "fun": lambda w: 1 - np.linalg.norm(F2 @ w + g2)},
+        ],
+        options={"maxiter": 1000, "ftol": 1e-12},
+    )
+    assert float(c @ x) <= res.fun + 1e-5 * (1 + abs(res.fun))
