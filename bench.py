@@ -125,7 +125,7 @@ def tpu_bench():
     # (eps=1e-5) share ONE compilation.  NOTE: block_until_ready is not a
     # reliable sync on the axon tunnel — fetch a scalar to force completion.
     run = jax.jit(lambda f, x, eps: fused_solve(alg, f, x, max_iters=BENCH_ITERS,
-                                                eps=eps, checki=CHECKI))
+                                                eps=eps, checki=CHECKI, unroll=8))
 
     def sync(r):
         return float(jnp.sum(r.guess))
@@ -165,7 +165,7 @@ def tpu_bench():
         prob2 = conic_problem(A2, b2, c2, nonneg(mn), nonneg(mn))
         form2 = HSDEForm.build(prob2)
         run2 = jax.jit(lambda f, x, eps: fused_solve(alg, f, x, max_iters=300,
-                                                     eps=eps, checki=100))
+                                                     eps=eps, checki=100, unroll=4))
         x02 = form2.initial_value(form2.dtype)
         r = run2(form2, x02, 0.0)
         float(jnp.sum(r.guess))

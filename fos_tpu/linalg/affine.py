@@ -36,7 +36,8 @@ class HSDEAffineProjector:
     """
 
     def __init__(self, A, b, c, inv=None, *, direct=False, decreasing_accuracy=True,
-                 cg_max_iters=1000, tol_floor=None, cg_variant="standard"):
+                 cg_max_iters=1000, tol_floor=None, cg_variant="standard",
+                 cg_unroll=2):
         self.A = A
         self.b = b
         self.c = c
@@ -46,6 +47,7 @@ class HSDEAffineProjector:
         self.cg_max_iters = cg_max_iters
         self.tol_floor = tol_floor
         self.cg_variant = cg_variant
+        self.cg_unroll = cg_unroll
 
     # -- pytree protocol --------------------------------------------------
     def tree_flatten(self):
@@ -55,19 +57,22 @@ class HSDEAffineProjector:
             self.cg_max_iters,
             self.tol_floor,
             self.cg_variant,
+            self.cg_unroll,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         A, b, c, inv = children
-        direct, decreasing, cg_max, tol_floor, cg_variant = aux
+        direct, decreasing, cg_max, tol_floor, cg_variant, cg_unroll = aux
         return cls(A, b, c, inv, direct=direct, decreasing_accuracy=decreasing,
-                   cg_max_iters=cg_max, tol_floor=tol_floor, cg_variant=cg_variant)
+                   cg_max_iters=cg_max, tol_floor=tol_floor, cg_variant=cg_variant,
+                   cg_unroll=cg_unroll)
 
     # ---------------------------------------------------------------------
     @classmethod
     def create(cls, A, b, c, *, direct=False, decreasing_accuracy=True,
-               cg_max_iters=1000, tol_floor=None, cg_variant="standard"):
+               cg_max_iters=1000, tol_floor=None, cg_variant="standard",
+               cg_unroll=2):
         inv = None
         if direct:
             Qd = hsde_ops.q_dense(A, b, c)
@@ -76,7 +81,7 @@ class HSDEAffineProjector:
         return cls(A, b, c, inv, direct=direct,
                    decreasing_accuracy=decreasing_accuracy,
                    cg_max_iters=cg_max_iters, tol_floor=tol_floor,
-                   cg_variant=cg_variant)
+                   cg_variant=cg_variant, cg_unroll=cg_unroll)
 
     @property
     def l(self) -> int:
@@ -110,12 +115,17 @@ class HSDEAffineProjector:
                 tol = decreasing_tolerance(cg.call_idx, floor, z.dtype)
             else:
                 tol = jnp.asarray(floor, z.dtype)
-            cg_fn = (conjugate_gradient_pipelined if self.cg_variant == "pipelined"
-                     else conjugate_gradient)
-            res = cg_fn(
-                lambda x: hsde_ops.hsde_normal_mul(self.A, self.b, self.c, x),
-                rhs, warm, tol=tol, max_iters=self.cg_max_iters,
-            )
+            if self.cg_variant == "pipelined":
+                res = conjugate_gradient_pipelined(
+                    lambda x: hsde_ops.hsde_normal_mul(self.A, self.b, self.c, x),
+                    rhs, warm, tol=tol, max_iters=self.cg_max_iters,
+                )
+            else:
+                res = conjugate_gradient(
+                    lambda x: hsde_ops.hsde_normal_mul(self.A, self.b, self.c, x),
+                    rhs, warm, tol=tol, max_iters=self.cg_max_iters,
+                    unroll=self.cg_unroll,
+                )
             u = res.x
             new_cg = CGState(u, jnp.asarray(True), cg.call_idx + 1, res.iters)
         v = hsde_ops.q_mul(self.A, self.b, self.c, u)

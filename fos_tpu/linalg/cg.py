@@ -60,11 +60,19 @@ def conjugate_gradient(
     *,
     tol,
     max_iters: int,
+    unroll: int = 1,
 ) -> CGResult:
     """Solve ``matvec(x) == b`` from warm start ``x0``.
 
     Semantics match conjugategradients.jl:31-55: absolute tolerance on
     ``||r||``, iteration count returned.
+
+    ``unroll`` performs that many CG iterations per while-loop step (the
+    tolerance is checked once per group): on TPU every loop step pays a
+    fixed scalar-core overhead, which dominates when the warm-started CG
+    needs only a couple of iterations.  The extra sub-iterations past
+    convergence are guarded (zero steps), so the result is unchanged up to
+    a few sub-tolerance iterations.
     """
 
     r0 = b - matvec(x0)
@@ -75,16 +83,24 @@ def conjugate_gradient(
         _, _, _, rn, it = state
         return (rn > tol2) & (it < max_iters)
 
-    def body(state):
+    def one(state):
         x, r, p, rn, it = state
+        live = rn > tol2
         Ap = matvec(p)
-        alpha = rn / jnp.vdot(Ap, p)
+        den = jnp.vdot(Ap, p)
+        alpha = jnp.where(live & (den != 0), rn / jnp.where(den != 0, den, 1.0), 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
         rn_new = jnp.vdot(r, r)
-        beta = rn_new / rn
-        p = r + beta * p
-        return (x, r, p, rn_new, it + 1)
+        beta = jnp.where(live, rn_new / jnp.where(rn > 0, rn, 1.0), 0.0)
+        p = jnp.where(live, r + beta * p, p)
+        rn_out = jnp.where(live, rn_new, rn)
+        return (x, r, p, rn_out, it + live.astype(jnp.int32))
+
+    def body(state):
+        for _ in range(unroll):
+            state = one(state)
+        return state
 
     x, _, _, rn, iters = jax.lax.while_loop(cond, body, (x0, r0, r0, rn0, jnp.asarray(0, jnp.int32)))
     return CGResult(x=x, iters=iters, rnorm=jnp.sqrt(rn))

@@ -73,7 +73,8 @@ class FusedResult(NamedTuple):
 
 
 def fused_solve(alg, form, x0, *, max_iters: int = 10000, eps: float = 1e-5,
-                checki: int = 100, record_history: bool = False) -> FusedResult:
+                checki: int = 100, record_history: bool = False,
+                unroll: int = 1) -> FusedResult:
     """Entire solve as one ``lax.while_loop`` over check-interval chunks —
     zero host synchronization, suitable for ``vmap`` over problem batches and
     ``pjit``/sharding over a device mesh.
@@ -97,7 +98,7 @@ def fused_solve(alg, form, x0, *, max_iters: int = 10000, eps: float = 1e-5,
         def body(_, s):
             return alg.step(form.sets, s)
 
-        st_new = jax.lax.fori_loop(0, checki, body, st)
+        st_new = jax.lax.fori_loop(0, checki, body, st, unroll=unroll)
         chk = form.check(st_new.z_check, eps, prev=st_new.z_check_prev)
         if record_history:
             hist = hist.at[k].set(jnp.stack([v.astype(x0.dtype) for v in tuple(chk)]))
