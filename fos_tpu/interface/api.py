@@ -78,6 +78,7 @@ def solve(A=None, b=None, c=None, K1: ConeSpec = None, K2: ConeSpec = None,
         cg_variant=str(opts.pop("cg_variant", "standard")),
         equilibrate=bool(opts.pop("equilibrate", False)),
         strict_certificates=bool(opts.pop("strict_certificates", False)),
+        densify=opts.pop("densify", "auto"),
     )
     init_duration = time.time() - t0
     if initx is not None:

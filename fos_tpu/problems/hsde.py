@@ -88,10 +88,24 @@ class HSDEForm:
               cg_tol_floor: float = None, psd_method: str = "auto",
               cg_variant: str = "standard",
               equilibrate: bool = False, equilibrate_iters: int = 10,
-              strict_certificates: bool = False) -> "HSDEForm":
+              strict_certificates: bool = False, densify="auto") -> "HSDEForm":
         A = problem.A
         b = problem.b
         c = problem.c
+        # Sparse policy: BCOO matvec lowers to gather/scatter on TPU and is
+        # >10x slower than the densified matvec even at 5% density
+        # (measured); auto-densify on accelerators when the dense form fits
+        # comfortably in HBM.  Pass densify=False to keep BCOO.
+        if densify and hasattr(A, "todense"):
+            import jax as _jax
+
+            dense_bytes = A.shape[0] * A.shape[1] * jnp.dtype(b.dtype).itemsize
+            if densify is True or (
+                densify == "auto"
+                and _jax.default_backend() != "cpu"
+                and dense_bytes < 4 * 1024**3
+            ):
+                A = A.todense()
         norm_b = jnp.linalg.norm(b)
         norm_c = jnp.linalg.norm(c)
         dinv = einv = None
