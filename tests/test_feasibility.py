@@ -93,3 +93,19 @@ def test_sets_library(rng):
     box = Box(-0.1, 0.2)
     y, _ = box.project(x, ())
     assert float(y.min()) >= -0.1 and float(y.max()) <= 0.2
+
+
+def test_fused_feasibility(problem):
+    # the fused on-device engine is form-generic: feasibility works too
+    from fos_tpu.problems.feasibility import FeasibilityForm
+    from fos_tpu.solvers.engine import fused_solve
+    from fos_tpu.solvers.status import Status
+
+    prob, A, b = problem
+    form = FeasibilityForm.build(prob)
+    res = fused_solve(DR(), form, form.initial_value(form.dtype),
+                      max_iters=10000, eps=1e-8, checki=100)
+    assert int(res.status) == Status.OPTIMAL
+    x = np.asarray(res.guess)
+    assert x.min() > -1e-10
+    assert np.max(np.abs(A @ x - b)) < 1e-6
