@@ -186,10 +186,10 @@ def tpu_bench():
           + jnp.abs(jax.random.normal(k3, (B, bm)))).astype(jnp.float32)
     c3 = jnp.abs(jax.random.normal(k4, (B, bn), jnp.float32))
     form3 = build_batched_form(A3, b3, c3, nonneg(bm), nonneg(bn))
-    rb = solve_batched(alg, form3, max_iters=300, eps=0.0, checki=100)
+    rb = solve_batched(alg, form3, max_iters=300, eps=0.0, checki=100, unroll=4)
     float(jnp.sum(rb.guess))
     t0 = time.perf_counter()
-    rb = solve_batched(alg, form3, max_iters=300, eps=0.0, checki=100)
+    rb = solve_batched(alg, form3, max_iters=300, eps=0.0, checki=100, unroll=4)
     float(jnp.sum(rb.guess))
     batched_iters_per_s = B * 300 / (time.perf_counter() - t0)
 

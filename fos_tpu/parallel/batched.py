@@ -55,10 +55,10 @@ def build_batched_form(A, b, c, K1: ConeSpec, K2: ConeSpec, *, direct=False,
 
 
 @functools.partial(jax.jit, static_argnames=("alg", "max_iters", "eps", "checki",
-                                             "record_history"))
+                                             "record_history", "unroll"))
 def solve_batched(alg, form: HSDEForm, *, max_iters: int = 10000,
                   eps: float = 1e-5, checki: int = 100,
-                  record_history: bool = False) -> FusedResult:
+                  record_history: bool = False, unroll: int = 1) -> FusedResult:
     """vmap the fused solver over the leading batch axis of ``form``."""
     B = form.b.shape[0]
     l = form.n + form.m + 1
@@ -70,7 +70,8 @@ def solve_batched(alg, form: HSDEForm, *, max_iters: int = 10000,
 
     def one(form_i, x0_i):
         return fused_solve(alg, form_i, x0_i, max_iters=max_iters, eps=eps,
-                           checki=checki, record_history=record_history)
+                           checki=checki, record_history=record_history,
+                           unroll=unroll)
 
     return jax.vmap(one)(form, x0)
 
