@@ -208,7 +208,11 @@ class HSDEForm:
         g = jnp.abs(ctx / tau + bty / tau) / gden
 
         optimal = (p <= eps * (1.0 + nb)) & (d <= eps * (1.0 + nc)) & (g <= eps * gden)
-        unbounded = jnp.linalg.norm(wp * (Ax + s)) <= eps * (-ctx / nc)
+        # Certificate tests require strictly improving rays (ctx < 0 resp.
+        # bty < 0): without the sign guard, an iterate that collapses to
+        # z = 0 satisfies 0 <= eps*(-0/||c||) and gets falsely certified —
+        # a genuine reference bug (HSDEStatus.jl:58-61) not reproduced here.
+        unbounded = (ctx < 0) & (jnp.linalg.norm(wp * (Ax + s)) <= eps * (-ctx / nc))
         if self.strict_certificates and self.K2_spec is not None:
             # Full Farkas certificate: y in K1* (guaranteed: z_check is
             # post-cone-projection) with A'y in K2* and b'y < 0 — measured
@@ -219,9 +223,9 @@ class HSDEForm:
 
             v = (wd * ATy) if self.dinv is not None else ATy
             cert = v - _proj(self.K2_spec.dual(), v)
-            infeasible = jnp.linalg.norm(cert) <= eps * (-bty / nb)
+            infeasible = (bty < 0) & (jnp.linalg.norm(cert) <= eps * (-bty / nb))
         else:
-            infeasible = jnp.linalg.norm(wd * ATy) <= eps * (-bty / nb)
+            infeasible = (bty < 0) & (jnp.linalg.norm(wd * ATy) <= eps * (-bty / nb))
         status = jnp.where(
             optimal,
             Status.OPTIMAL,
@@ -299,6 +303,11 @@ def populate_solution(form: HSDEForm, guess, status_code: int, iters: int,
     status = Status.name(status_code)
     if status == "Continue":
         status = "Indeterminate"
+    if status in ("Unbounded", "Infeasible"):
+        # tau = 0 at a certificate: return the RAY (unscaled) instead of the
+        # reference's x/tau = Inf — the unbounded direction / Farkas
+        # certificate is the useful object (SCS convention).
+        tau = jnp.asarray(1.0, guess.dtype)
     xs = x / tau
     ys = y / tau
     ss = s / tau

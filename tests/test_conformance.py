@@ -190,3 +190,34 @@ def test_socp_battery(seed):
         options={"maxiter": 1000, "ftol": 1e-12},
     )
     assert float(c @ x) <= res.fun + 1e-5 * (1 + abs(res.fun))
+
+
+def test_no_zero_certificate():
+    # fuzz-derived regression: a feasible PSD-constrained problem whose DR
+    # iterate collapses toward z = 0 must NOT be certified
+    # Infeasible/Unbounded via the degenerate zero certificate (the
+    # reference's unguarded 0 <= eps*(-0/||b||) test would).
+    import jax.numpy as jnp
+    from fos_tpu.cones import ConeSpec
+    from fos_tpu.cones.project import project
+
+    rng = np.random.default_rng(12345)
+    for _ in range(52):  # fast-forward to the failing fuzz trial's stream
+        rng.integers(1, 5)
+    # deterministic rebuild of an instance of the failing family
+    rng = np.random.default_rng(777)
+    K1 = ConeSpec(((Cone.PSD, 6),))
+    m, n = 6, 8
+    A = rng.standard_normal((m, n)) * 0.5
+    x0 = rng.standard_normal(n) * 0.3
+    s0 = np.asarray(project(K1, jnp.asarray(rng.standard_normal(m))))
+    b = A @ x0 + s0
+    c = rng.standard_normal(n) * 0.1
+    from fos_tpu.cones import free
+
+    sol = solve(A, b, c, K1, free(n), alg=DR(), eps=1e-6, max_iters=8000,
+                verbose=0)
+    assert sol.status in ("Optimal", "Indeterminate", "Unbounded")
+    if sol.status in ("Unbounded",):
+        # a genuine unbounded cert must have c'x < 0
+        assert float(c @ np.asarray(sol.x)) < 0
