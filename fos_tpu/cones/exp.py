@@ -50,16 +50,26 @@ def _h_grad(rho, r, s, t):
 
 
 def _in_primal(r, s, t):
-    interior = (s > 0) & (s * jnp.exp(jnp.minimum(r / jnp.where(s > 0, s, 1.0), 50.0)) <= t)
+    # Membership s*e^(r/s) <= t tested in log space (log s + r/s <= log t) so
+    # extreme-magnitude points (e.g. r/s = 100, t = 1e30) classify exactly —
+    # a clamped exponent would misreport them as members.  s > 0 forces the
+    # LHS positive, so t must be > 0 in the interior.
+    s_safe = jnp.where(s > 0, s, 1.0)
+    t_safe = jnp.where(t > 0, t, 1.0)
+    interior = (s > 0) & (t > 0) & (jnp.log(s_safe) + r / s_safe <= jnp.log(t_safe))
     boundary = (s == 0) & (r <= 0) & (t >= 0)
     return interior | boundary
 
 
 def _in_polar(r, s, t):
-    # v0 in polar(Kexp)  <=>  -v0 in Kexp*.
+    # v0 in polar(Kexp)  <=>  -v0 in Kexp*.  Interior test
+    # -u*e^(v/u) <= e*w  <=>  log(-u) + v/u <= 1 + log(w) (w > 0 forced:
+    # the LHS exponential is positive when u < 0).
     u, v, w = -r, -s, -t
-    ratio = v / jnp.where(u < 0, u, -1.0)
-    interior = (u < 0) & (-u * jnp.exp(jnp.minimum(ratio, 50.0)) <= jnp.e * w)
+    nu_safe = jnp.where(u < 0, -u, 1.0)
+    w_safe = jnp.where(w > 0, w, 1.0)
+    interior = (u < 0) & (w > 0) & (
+        jnp.log(nu_safe) + v / jnp.where(u < 0, u, -1.0) <= 1.0 + jnp.log(w_safe))
     boundary = (u == 0) & (v >= 0) & (w >= 0)
     return interior | boundary
 

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from fos_tpu.cones.spec import Cone, ConeSpec, psd_side_from_len
 from fos_tpu.cones import exp as exp_cone
 
-_SQRT2 = np.sqrt(2.0)
+_SQRT2 = float(np.sqrt(2.0))  # Python float: weak-typed so f32 inputs stay f32
 
 
 def _build_plan(blocks: Tuple[Tuple[Cone, int], ...]):

@@ -58,6 +58,7 @@ def solve(A=None, b=None, c=None, K1: ConeSpec = None, K2: ConeSpec = None,
     path; defaults to the dtype of the inputs / x64 setting).
     """
     t0 = time.time()
+    raw_inputs = (A, b, c, K1, K2)
     if problem is None:
         if dtype is not None:
             A = A.astype(dtype) if hasattr(A, "astype") else jnp.asarray(A, dtype)
@@ -68,6 +69,8 @@ def solve(A=None, b=None, c=None, K1: ConeSpec = None, K2: ConeSpec = None,
         alg = DR()
     opts = dict(alg.options)
     opts.update(options)
+    refine = int(opts.pop("refine", 0))
+    refine_kwargs = dict(opts.pop("refine_kwargs", ()) or ())
     form = HSDEForm.build(
         problem,
         direct=getattr(alg, "direct", False),
@@ -79,9 +82,59 @@ def solve(A=None, b=None, c=None, K1: ConeSpec = None, K2: ConeSpec = None,
         equilibrate=bool(opts.pop("equilibrate", False)),
         strict_certificates=bool(opts.pop("strict_certificates", False)),
         densify=opts.pop("densify", "auto"),
+        compensated=opts.pop("compensated", "auto"),
     )
     init_duration = time.time() - t0
     if initx is not None:
         initx = jnp.asarray(initx, dtype=form.dtype)
     res = engine.run(form, alg, initx=initx, init_duration=init_duration, **opts)
+    if refine > 0 and res.status in (engine.Status.CONTINUE, engine.Status.OPTIMAL):
+        return _refine_solution(raw_inputs, problem, alg, form, res, refine,
+                                refine_kwargs, opts)
     return populate_solution(form, res.guess, res.status, res.iters, res.history)
+
+
+def _refine_solution(raw_inputs, problem, alg, form, res, refine, refine_kwargs,
+                     opts):
+    """Post-solve f64 refinement sweep: continue the iteration at f64 from
+    the f32 solution's raw iterate.
+
+    The f32 TPU path bottoms out at the f32 storage floor (~6e-8 relative on
+    the iterate even with compensated reductions); a warm-started f64 sweep
+    — emulated-f64 on TPU, native on CPU — removes it in a few hundred
+    iterations because the start point is already residual ~1e-5.  This is
+    the TPU-native answer to the reference's all-f64 operating points
+    (testDRandGAPA.jl:44-49, eps down to 1e-9).
+    """
+    import jax
+
+    if not jax.config.jax_enable_x64:
+        raise ValueError(
+            "refine requires x64 (set FOS_TPU_X64=1 / jax_enable_x64) so the "
+            "refinement sweep can run at f64")
+    A, b, c, K1, K2 = raw_inputs
+    if A is None:  # solve(problem=...) form: refine from the problem's data
+        A, b, c, K1, K2 = problem.A, problem.b, problem.c, problem.K1, problem.K2
+    prob64 = conic_problem(
+        A.astype(jnp.float64) if hasattr(A, "astype") else jnp.asarray(A, jnp.float64),
+        jnp.asarray(b, jnp.float64), jnp.asarray(c, jnp.float64), K1, K2)
+    rk = dict(refine_kwargs)
+    form64 = HSDEForm.build(
+        prob64,
+        direct=getattr(alg, "direct", False),
+        cg_max_iters=int(rk.pop("cg_max_iters", 1000)),
+        psd_method=str(rk.pop("psd_method", "auto")),
+        compensated=False,
+    )
+    run_opts = {k: v for k, v in opts.items()
+                if k in ("eps", "checki", "verbose", "debug")}
+    run_opts.update(rk)
+    run_opts["max_iters"] = refine
+    # Warm start from the final raw iterate (not the projected guess): the
+    # iterate is the DR/GAP fixed-point object; initx plays the reference's
+    # warm-start role (solverwrapper.jl:10).
+    initx = jnp.asarray(res.state.x, jnp.float64)
+    res64 = engine.run(form64, alg, initx=initx, **run_opts)
+    sol = populate_solution(form64, res64.guess, res64.status,
+                            res.iters + res64.iters, res64.history)
+    return sol

@@ -6,9 +6,10 @@ These are the TPU-native equivalents of the reference's two S1 back ends:
   (affinepluslinear.jl:83-126, HSDEAffine.jl:105-126), here on SPD
   reductions (see :mod:`fos_tpu.linalg.hsde_ops`);
 * direct — the reference caches a QR factorization inside ProximalOperators'
-  ``IndAffine`` (HSDE.jl:15); here we cache the explicit SPD inverse so each
-  projection is a single GEMV/GEMM that runs on the MXU and broadcasts over
-  batched instances.
+  ``IndAffine`` (HSDE.jl:15); here we cache a Cholesky factor of the SPD
+  system so each projection is two triangular solves — robust on
+  ill-conditioned A (I + Q'Q squares Q's conditioning; an explicit inverse
+  would lose half the digits) and still batched-friendly.
 
 Projector classes are registered pytrees: their arrays travel through
 ``jit``/``vmap``/``pjit`` as ordinary inputs, and all mutable reference
@@ -35,53 +36,57 @@ class HSDEAffineProjector:
     direct ``IndAffine([Q -I])`` path (HSDE.jl:15).
     """
 
-    def __init__(self, A, b, c, inv=None, *, direct=False, decreasing_accuracy=True,
+    def __init__(self, A, b, c, fac=None, *, direct=False, decreasing_accuracy=True,
                  cg_max_iters=1000, tol_floor=None, cg_variant="standard",
-                 cg_unroll=2):
+                 cg_unroll=2, compensated=False):
         self.A = A
         self.b = b
         self.c = c
-        self.inv = inv
+        self.fac = fac  # lower-Cholesky factor of I + Q'Q (direct mode)
         self.direct = direct
         self.decreasing_accuracy = decreasing_accuracy
         self.cg_max_iters = cg_max_iters
         self.tol_floor = tol_floor
         self.cg_variant = cg_variant
         self.cg_unroll = cg_unroll
+        self.compensated = compensated
 
     # -- pytree protocol --------------------------------------------------
     def tree_flatten(self):
-        return (self.A, self.b, self.c, self.inv), (
+        return (self.A, self.b, self.c, self.fac), (
             self.direct,
             self.decreasing_accuracy,
             self.cg_max_iters,
             self.tol_floor,
             self.cg_variant,
             self.cg_unroll,
+            self.compensated,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        A, b, c, inv = children
-        direct, decreasing, cg_max, tol_floor, cg_variant, cg_unroll = aux
-        return cls(A, b, c, inv, direct=direct, decreasing_accuracy=decreasing,
+        A, b, c, fac = children
+        (direct, decreasing, cg_max, tol_floor, cg_variant, cg_unroll,
+         compensated) = aux
+        return cls(A, b, c, fac, direct=direct, decreasing_accuracy=decreasing,
                    cg_max_iters=cg_max, tol_floor=tol_floor, cg_variant=cg_variant,
-                   cg_unroll=cg_unroll)
+                   cg_unroll=cg_unroll, compensated=compensated)
 
     # ---------------------------------------------------------------------
     @classmethod
     def create(cls, A, b, c, *, direct=False, decreasing_accuracy=True,
                cg_max_iters=1000, tol_floor=None, cg_variant="standard",
-               cg_unroll=2):
-        inv = None
+               cg_unroll=2, compensated=False):
+        fac = None
         if direct:
             Qd = hsde_ops.q_dense(A, b, c)
             l = Qd.shape[0]
-            inv = jnp.linalg.inv(jnp.eye(l, dtype=Qd.dtype) + Qd.T @ Qd)
-        return cls(A, b, c, inv, direct=direct,
+            fac = jnp.linalg.cholesky(jnp.eye(l, dtype=Qd.dtype) + Qd.T @ Qd)
+        return cls(A, b, c, fac, direct=direct,
                    decreasing_accuracy=decreasing_accuracy,
                    cg_max_iters=cg_max_iters, tol_floor=tol_floor,
-                   cg_variant=cg_variant, cg_unroll=cg_unroll)
+                   cg_variant=cg_variant, cg_unroll=cg_unroll,
+                   compensated=compensated)
 
     @property
     def l(self) -> int:
@@ -103,7 +108,9 @@ class HSDEAffineProjector:
         # rhs = u0 + Q' v0 = u0 - Q v0 (skew-symmetry)
         rhs = u0 - hsde_ops.q_mul(self.A, self.b, self.c, v0)
         if self.direct:
-            u = self.inv @ rhs
+            from jax.scipy.linalg import cho_solve
+
+            u = cho_solve((self.fac, True), rhs)
             new_cg = CGState(cg.warm, cg.initialized, cg.call_idx + 1,
                              jnp.asarray(0, jnp.int32))
         else:
@@ -124,7 +131,7 @@ class HSDEAffineProjector:
                 res = conjugate_gradient(
                     lambda x: hsde_ops.hsde_normal_mul(self.A, self.b, self.c, x),
                     rhs, warm, tol=tol, max_iters=self.cg_max_iters,
-                    unroll=self.cg_unroll,
+                    unroll=self.cg_unroll, compensated=self.compensated,
                 )
             u = res.x
             new_cg = CGState(u, jnp.asarray(True), cg.call_idx + 1, res.iters)
@@ -141,38 +148,38 @@ class AffinePlusLinearProjector:
     ``y1 = x1 - q - A'lam`` and ``y2 = x2 + beta*lam``.
     """
 
-    def __init__(self, A, b, q, beta: int, inv=None, *, direct=False,
+    def __init__(self, A, b, q, beta: int, fac=None, *, direct=False,
                  decreasing_accuracy=False, cg_max_iters=1000):
         assert beta in (1, -1)
         self.A = A
         self.b = b
         self.q = q
         self.beta = beta
-        self.inv = inv
+        self.fac = fac  # lower-Cholesky factor of I + AA' (direct mode)
         self.direct = direct
         self.decreasing_accuracy = decreasing_accuracy
         self.cg_max_iters = cg_max_iters
 
     def tree_flatten(self):
-        return (self.A, self.b, self.q, self.inv), (
+        return (self.A, self.b, self.q, self.fac), (
             self.beta, self.direct, self.decreasing_accuracy, self.cg_max_iters)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        A, b, q, inv = children
+        A, b, q, fac = children
         beta, direct, decreasing, cg_max = aux
-        return cls(A, b, q, beta, inv, direct=direct,
+        return cls(A, b, q, beta, fac, direct=direct,
                    decreasing_accuracy=decreasing, cg_max_iters=cg_max)
 
     @classmethod
     def create(cls, A, b, q, beta, *, direct=False, decreasing_accuracy=False,
                cg_max_iters=1000):
-        inv = None
+        fac = None
         if direct:
             Ad = A.todense() if hasattr(A, "todense") else A
             m = Ad.shape[0]
-            inv = jnp.linalg.inv(jnp.eye(m, dtype=Ad.dtype) + Ad @ Ad.T)
-        return cls(A, b, q, beta, inv, direct=direct,
+            fac = jnp.linalg.cholesky(jnp.eye(m, dtype=Ad.dtype) + Ad @ Ad.T)
+        return cls(A, b, q, beta, fac, direct=direct,
                    decreasing_accuracy=decreasing_accuracy, cg_max_iters=cg_max_iters)
 
     @property
@@ -198,7 +205,9 @@ class AffinePlusLinearProjector:
         x2 = x[n:]
         rhs = hsde_ops.mv(self.A, x1 - self.q) - self.beta * x2 - self.b
         if self.direct:
-            lam = self.inv @ rhs
+            from jax.scipy.linalg import cho_solve
+
+            lam = cho_solve((self.fac, True), rhs)
             new_cg = CGState(cg.warm, cg.initialized, cg.call_idx + 1,
                              jnp.asarray(0, jnp.int32))
         else:

@@ -61,11 +61,18 @@ def conjugate_gradient(
     tol,
     max_iters: int,
     unroll: int = 1,
+    compensated: bool = False,
 ) -> CGResult:
     """Solve ``matvec(x) == b`` from warm start ``x0``.
 
     Semantics match conjugategradients.jl:31-55: absolute tolerance on
     ``||r||``, iteration count returned.
+
+    ``compensated`` computes the two dot products per iteration with
+    float-float (error-free-transform) arithmetic
+    (:mod:`fos_tpu.linalg.compensated`) — ~f64-quality alpha/beta scalars in
+    pure f32, removing the reduction-roundoff stall that otherwise caps
+    warm-started f32 CG around 1e-4 residuals.
 
     ``unroll`` performs that many CG iterations per while-loop step (the
     tolerance is checked once per group): on TPU every loop step pays a
@@ -75,8 +82,13 @@ def conjugate_gradient(
     a few sub-tolerance iterations.
     """
 
+    if compensated:
+        from fos_tpu.linalg.compensated import cdot as _dot
+    else:
+        _dot = jnp.vdot
+
     r0 = b - matvec(x0)
-    rn0 = jnp.vdot(r0, r0)
+    rn0 = _dot(r0, r0)
     tol2 = jnp.asarray(tol, b.dtype) ** 2
 
     def cond(state):
@@ -87,11 +99,11 @@ def conjugate_gradient(
         x, r, p, rn, it = state
         live = rn > tol2
         Ap = matvec(p)
-        den = jnp.vdot(Ap, p)
+        den = _dot(Ap, p)
         alpha = jnp.where(live & (den != 0), rn / jnp.where(den != 0, den, 1.0), 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
-        rn_new = jnp.vdot(r, r)
+        rn_new = _dot(r, r)
         beta = jnp.where(live, rn_new / jnp.where(rn > 0, rn, 1.0), 0.0)
         p = jnp.where(live, r + beta * p, p)
         rn_out = jnp.where(live, rn_new, rn)

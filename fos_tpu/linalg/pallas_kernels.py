@@ -134,6 +134,8 @@ class PaddedDenseOp:
         if interpret is None:
             # Mosaic compiles only on TPU; fall back to interpret elsewhere
             interpret = jax.default_backend() == "cpu"
+        if hasattr(A, "todense"):  # BCOO reaches here via solve(pallas=True)
+            A = A.todense()
         A = jnp.asarray(A, jnp.float32)
         m, n = A.shape
         mp, np_ = _round_up(m, bm), _round_up(n, bn)

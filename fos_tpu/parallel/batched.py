@@ -39,9 +39,9 @@ def build_batched_form(A, b, c, K1: ConeSpec, K2: ConeSpec, *, direct=False,
 
         Qd = jax.vmap(hsde_ops.q_dense)(A, b, c)
         l = Qd.shape[-1]
-        inv = jnp.linalg.inv(jnp.eye(l, dtype=Qd.dtype)[None] + jnp.einsum(
+        fac = jnp.linalg.cholesky(jnp.eye(l, dtype=Qd.dtype)[None] + jnp.einsum(
             "bij,bik->bjk", Qd, Qd))
-        s1 = HSDEAffineProjector(A, b, c, inv, direct=True,
+        s1 = HSDEAffineProjector(A, b, c, fac, direct=True,
                                  decreasing_accuracy=False,
                                  cg_max_iters=cg_max_iters)
     else:

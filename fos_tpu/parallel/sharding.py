@@ -54,14 +54,20 @@ def shard_problem_rows(form, mesh: Mesh, axis: str = "model"):
     s_rows1d = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
 
-    def put(path, x):
+    def put(x):
         if x is None or not hasattr(x, "ndim"):
             return x
-        name = path[-1].name if path and hasattr(path[-1], "name") else ""
-        if x.ndim == 2:
+        # Shard by shape: A is the only (m, ·) 2-D leaf, b the only m-vector
+        # (m != n is validated below so an (n,)-leaf can't mis-shard).
+        if x.ndim == 2 and x.shape[0] == form.m:
             return jax.device_put(x, s_rows2d)
         if x.ndim == 1 and x.shape[0] == form.m:
             return jax.device_put(x, s_rows1d)
         return jax.device_put(x, repl)
 
-    return jax.tree_util.tree_map_with_path(put, form)
+    if form.m == form.n:
+        raise ValueError(
+            "shard_problem_rows dispatches on leaf shapes and requires "
+            "m != n (square problems would mis-shard c); pad A with a "
+            "redundant row or use shard_problem_2d")
+    return jax.tree_util.tree_map(put, form)

@@ -46,5 +46,14 @@ class ConicProblem:
 
 
 def conic_problem(A, b, c, K1: ConeSpec, K2: ConeSpec) -> ConicProblem:
+    try:
+        import scipy.sparse as _sp
+
+        if _sp.issparse(A):
+            from jax.experimental.sparse import BCOO
+
+            A = BCOO.from_scipy_sparse(A)
+    except ImportError:
+        pass
     A = A if hasattr(A, "todense") else jnp.asarray(A)
     return ConicProblem(A=A, b=jnp.asarray(b), c=jnp.asarray(c), K1=K1, K2=K2)

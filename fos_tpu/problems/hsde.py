@@ -56,7 +56,8 @@ class HSDEForm:
     """Problem form driving the generic iteration engine."""
 
     def __init__(self, sets: TwoSets, A, b, c, norm_b, norm_c, n: int, m: int,
-                 dinv=None, einv=None, K2_spec=None, strict_certificates=False):
+                 dinv=None, einv=None, K2_spec=None, strict_certificates=False,
+                 compensated=False):
         self.sets = sets
         self.A = A
         self.b = b
@@ -69,17 +70,20 @@ class HSDEForm:
         self.einv = einv
         self.K2_spec = K2_spec
         self.strict_certificates = strict_certificates
+        self.compensated = compensated
 
     def tree_flatten(self):
         return (self.sets, self.A, self.b, self.c, self.norm_b, self.norm_c,
                 self.dinv, self.einv), (self.n, self.m, self.K2_spec,
-                                        self.strict_certificates)
+                                        self.strict_certificates,
+                                        self.compensated)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         sets, A, b, c, nb, nc, dinv, einv = children
-        n, m, K2_spec, strict = aux
-        return cls(sets, A, b, c, nb, nc, n, m, dinv, einv, K2_spec, strict)
+        n, m, K2_spec, strict, compensated = aux
+        return cls(sets, A, b, c, nb, nc, n, m, dinv, einv, K2_spec, strict,
+                   compensated)
 
     # ------------------------------------------------------------------
     @classmethod
@@ -88,7 +92,8 @@ class HSDEForm:
               cg_tol_floor: float = None, psd_method: str = "auto",
               cg_variant: str = "standard",
               equilibrate: bool = False, equilibrate_iters: int = 10,
-              strict_certificates: bool = False, densify="auto") -> "HSDEForm":
+              strict_certificates: bool = False, densify="auto",
+              compensated="auto") -> "HSDEForm":
         A = problem.A
         b = problem.b
         c = problem.c
@@ -134,18 +139,24 @@ class HSDEForm:
 
             if not isinstance(A, PaddedDenseOp):
                 A = PaddedDenseOp.create(A)
+        # Compensated (float-float) reductions: on by default for f32 data
+        # (the TPU path), where plain reductions carry O(n*eps) ~ 1e-4
+        # error; pointless at f64 (linalg/compensated.py).
+        if compensated == "auto":
+            compensated = jnp.dtype(b.dtype) == jnp.float32
+        compensated = bool(compensated)
         s1 = HSDEAffineProjector.create(
             A, b, c,
             direct=direct, decreasing_accuracy=not direct,
             cg_max_iters=cg_max_iters, tol_floor=cg_tol_floor,
-            cg_variant=cg_variant,
+            cg_variant=cg_variant, compensated=compensated,
         )
         s2 = ConeSet(hsde_cone_spec(problem.K1, problem.K2), psd_method)
         assert s2.spec.dim == 2 * s1.l
         return cls(
             TwoSets(s1, s2), A, b, c, norm_b, norm_c,
             problem.n, problem.m, dinv, einv,
-            problem.K2, strict_certificates,
+            problem.K2, strict_certificates, compensated,
         )
 
     @property
@@ -198,21 +209,36 @@ class HSDEForm:
         # ORIGINAL problem (D^{-1}, E^{-1} weights); norms nb/nc are original.
         wp = self.dinv if self.dinv is not None else 1.0
         wd = self.einv if self.einv is not None else 1.0
-        p_num = jnp.linalg.norm(wp * (Ax / tau + s / tau - b))
-        d_num = jnp.linalg.norm(wd * (ATy / tau + c - r / tau))
-        ctx = jnp.vdot(c, x)
-        bty = jnp.vdot(b, y)
+        if self.compensated:
+            # Float-float reductions (linalg/compensated.py): the duality-gap
+            # numerator |c'x + b'y| is a catastrophic cancellation near
+            # optimality — difference the two dots BEFORE rounding to f32.
+            from fos_tpu.linalg.compensated import cdot_ff, cnorm, ff_add
+
+            _norm = cnorm
+            ctx_ff = cdot_ff(c, x)
+            bty_ff = cdot_ff(b, y)
+            ctx, bty = ctx_ff[0] + ctx_ff[1], bty_ff[0] + bty_ff[1]
+            gap_num = ff_add(ctx_ff, bty_ff)
+            gap_num = jnp.abs(gap_num[0] + gap_num[1])
+        else:
+            _norm = jnp.linalg.norm
+            ctx = jnp.vdot(c, x)
+            bty = jnp.vdot(b, y)
+            gap_num = jnp.abs(ctx + bty)
+        p_num = _norm(wp * (Ax / tau + s / tau - b))
+        d_num = _norm(wd * (ATy / tau + c - r / tau))
         p = p_num / (1.0 + nb)
         d = d_num / (1.0 + nc)
         gden = 1.0 + jnp.abs(ctx / tau) + jnp.abs(bty / tau)
-        g = jnp.abs(ctx / tau + bty / tau) / gden
+        g = (gap_num / tau) / gden
 
         optimal = (p <= eps * (1.0 + nb)) & (d <= eps * (1.0 + nc)) & (g <= eps * gden)
         # Certificate tests require strictly improving rays (ctx < 0 resp.
         # bty < 0): without the sign guard, an iterate that collapses to
         # z = 0 satisfies 0 <= eps*(-0/||c||) and gets falsely certified —
         # a genuine reference bug (HSDEStatus.jl:58-61) not reproduced here.
-        unbounded = (ctx < 0) & (jnp.linalg.norm(wp * (Ax + s)) <= eps * (-ctx / nc))
+        unbounded = (ctx < 0) & (_norm(wp * (Ax + s)) <= eps * (-ctx / nc))
         if self.strict_certificates and self.K2_spec is not None:
             # Full Farkas certificate: y in K1* (guaranteed: z_check is
             # post-cone-projection) with A'y in K2* and b'y < 0 — measured
@@ -223,9 +249,9 @@ class HSDEForm:
 
             v = (wd * ATy) if self.dinv is not None else ATy
             cert = v - _proj(self.K2_spec.dual(), v)
-            infeasible = (bty < 0) & (jnp.linalg.norm(cert) <= eps * (-bty / nb))
+            infeasible = (bty < 0) & (_norm(cert) <= eps * (-bty / nb))
         else:
-            infeasible = (bty < 0) & (jnp.linalg.norm(wd * ATy) <= eps * (-bty / nb))
+            infeasible = (bty < 0) & (_norm(wd * ATy) <= eps * (-bty / nb))
         status = jnp.where(
             optimal,
             Status.OPTIMAL,

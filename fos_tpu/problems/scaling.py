@@ -56,3 +56,38 @@ def ruiz_equilibrate(A, b, c, K1: ConeSpec, K2: ConeSpec, *, iters: int = 10,
         e = np.clip(e, min_scale, max_scale)
         As = (A * d[:, None]) * e[None, :]
     return As, d * b, e * c, d, e
+
+
+def ruiz_equilibrate_sparse(A, b, c, K1: ConeSpec, K2: ConeSpec, *,
+                            iters: int = 10, min_scale: float = 1e-4,
+                            max_scale: float = 1e4):
+    """Sparse-A Ruiz equilibration (same math as :func:`ruiz_equilibrate`)
+    without ever materializing the dense matrix.
+
+    ``A`` is a scipy.sparse matrix; returns the scaled matrix as CSR.
+    Row/col abs-max sweeps run on the nonzeros only — equilibration is a
+    one-time host-side setup pass (the reference has no scaling at all, so
+    there is no parity constraint on where it runs).
+    """
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(A, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    c = np.asarray(c, dtype=np.float64)
+    m, n = A.shape
+    d = np.ones(m)
+    e = np.ones(n)
+    As = A.copy()
+    for _ in range(iters):
+        absA = abs(As)
+        row = absA.max(axis=1).toarray().ravel()
+        col = absA.max(axis=0).toarray().ravel()
+        dr = 1.0 / np.sqrt(np.where(row > 0, row, 1.0))
+        dc = 1.0 / np.sqrt(np.where(col > 0, col, 1.0))
+        dr = _block_average(dr, K1)
+        dc = _block_average(dc, K2)
+        d = np.clip(d * dr, min_scale, max_scale)
+        e = np.clip(e * dc, min_scale, max_scale)
+        As = sp.diags(d) @ A @ sp.diags(e)
+        As = sp.csr_matrix(As)
+    return As, d * b, e * c, d, e

@@ -55,9 +55,14 @@ class AffineSet(_StatelessSet):
         b = jnp.asarray(b)
         P = None
         if direct:
+            from jax.scipy.linalg import cho_factor, cho_solve
+
+            # AA' is SPD: Cholesky (not a generic inverse/solve) keeps the
+            # projector accurate when A is ill-conditioned (HSDE.jl:15 uses
+            # QR for the same robustness reason).
             Ad = A.todense() if hasattr(A, "todense") else A
-            AAt = Ad @ Ad.T
-            P = jnp.linalg.solve(AAt, Ad).T  # = A'(AA')^{-1}
+            cf = cho_factor(Ad @ Ad.T)
+            P = cho_solve(cf, Ad).T  # = A'(AA')^{-1}
         return cls(A, b, P, direct=direct, cg_max_iters=cg_max_iters)
 
     def init_state(self, dtype):
@@ -66,6 +71,11 @@ class AffineSet(_StatelessSet):
         return CGState.create(self.b.shape[0], dtype)
 
     def project(self, x, state):
+        if x.ndim > 1 and not self.direct:
+            # Batched candidates (GAPP grids, line-search sweeps): vmap the
+            # CG solve per row; warm-start state is shared read-only.
+            y, _ = jax.vmap(lambda xi: self.project(xi, state))(x)
+            return y, state
         resid = x @ self.A.T - self.b if x.ndim > 1 else self.A @ x - self.b
         if self.direct:
             y = x - resid @ self.P.T if x.ndim > 1 else x - self.P @ resid

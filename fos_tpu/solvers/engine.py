@@ -30,6 +30,28 @@ from fos_tpu.solvers.status import Status
 DEFAULT_OPTIONS = dict(max_iters=10000, verbose=1, debug=1, eps=1e-5, checki=100)
 """Reference defaults (solverwrapper.jl:4-9)."""
 
+EXTRA_OPTIONS = frozenset({"check_finite", "profile_dir"})
+"""Documented non-reference run options (see :func:`run`)."""
+
+# Options consumed by the form/solve layer before reaching run(); accepted
+# here so algorithm-stored options (alg.options) can carry them through.
+FORM_OPTIONS = frozenset({
+    "cg_max_iters", "cg_tol_floor", "cg_variant", "pallas", "psd_method",
+    "equilibrate", "equilibrate_iters", "strict_certificates", "densify",
+    "refine", "refine_kwargs", "compensated",
+})
+
+
+def validate_options(options):
+    """Raise on misspelled option names (e.g. 'epsilon', 'max_iter') instead
+    of silently solving at the defaults."""
+    allowed = set(DEFAULT_OPTIONS) | EXTRA_OPTIONS | FORM_OPTIONS
+    unknown = set(options) - allowed
+    if unknown:
+        raise TypeError(
+            f"unknown solver option(s) {sorted(unknown)}; "
+            f"valid options: {sorted(allowed)}")
+
 
 @functools.partial(jax.jit, static_argnames=("alg", "nsteps", "eps"))
 def _run_chunk(alg, form, st: SolverState, nsteps: int, eps: float):
@@ -87,7 +109,15 @@ def fused_solve(alg, form, x0, *, max_iters: int = 10000, eps: float = 1e-5,
     not run here (the final forced check happens on the solution guess, as
     in solverwrapper.jl:32-34).
     """
-    nchunks = max_iters // checki
+    nchunks, rem = divmod(max_iters, checki)
+    if rem:
+        import warnings
+
+        warnings.warn(
+            f"fused_solve runs max_iters//checki full chunks; the trailing "
+            f"{rem} of max_iters={max_iters} iterations are skipped "
+            f"(checki={checki}). Use max_iters % checki == 0 for an exact "
+            f"budget.", stacklevel=2)
     st0 = init_solver_state(alg, form.sets, x0)
     chk0 = form.check(st0.z_check, eps, prev=st0.z_check_prev)
     nhist = len(tuple(chk0))
@@ -142,6 +172,7 @@ def run(form, alg, *, initx=None, init_duration: float = 0.0,
     turns non-finite (the NaN-debugging tier of SURVEY.md §5);
     ``profile_dir`` wraps the iteration loop in a ``jax.profiler`` trace.
     """
+    validate_options(options)
     opts = dict(DEFAULT_OPTIONS)
     opts.update(options)
     max_iters = int(opts["max_iters"])
@@ -171,7 +202,10 @@ def run(form, alg, *, initx=None, init_duration: float = 0.0,
     t_init = time.time()
 
     status_code = Status.CONTINUE
-    i = 0
+    # Resumed runs report cumulative iteration counts: st.i carries the true
+    # total, so history indices and Solution.iters continue where the
+    # checkpoint left off (a fresh max_iters budget still applies).
+    i = int(st.i) if resume_state is not None else 0
     checked = False
     nchunks, rem = divmod(max_iters, checki)
     for _ in range(nchunks):

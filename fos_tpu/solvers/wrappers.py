@@ -25,7 +25,16 @@ from typing import Any, Tuple
 import jax
 import jax.numpy as jnp
 
+from fos_tpu.linalg.cg import CGState
 from fos_tpu.solvers.base import Algorithm, PlaneBuf, SolverState
+
+
+def _advance_cg_calls(state, k: int):
+    """Advance a CG-backed set state's call counter by ``k`` probe calls
+    (no-op for stateless sets)."""
+    if isinstance(state, CGState):
+        return state._replace(call_idx=state.call_idx + k)
+    return state
 
 
 @dataclass(frozen=True)
@@ -73,6 +82,14 @@ class LineSearchWrapper(Algorithm):
             testres = jnp.linalg.norm(Tx - cands, axis=-1)
             abest = alphas[jnp.argmin(testres)]
             x_ls = x_prev + abest * res
+            # The reference's prox! increments its call counter S.i on every
+            # probe too (affinepluslinear.jl:113 runs under NoStatus), so the
+            # decreasing-accuracy schedule sees all 31 probe calls; advance
+            # call_idx to match.  The warm-start VECTOR intentionally stays
+            # from the real step (the reference leaves the last probe's
+            # solution, a worse warm start for the accepted iterate).
+            s1_state = _advance_cg_calls(s1_state, len(alphas))
+            s2_state = _advance_cg_calls(s2_state, len(alphas))
             return st._replace(
                 x=x_ls, i=st.i + 1, z_check=z, z_check_prev=st.z_check,
                 s1_state=s1_state, s2_state=s2_state,

@@ -6,6 +6,7 @@ CG on a random SPD system, projections vs closed-form KKT solves.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -199,3 +200,51 @@ def test_pipelined_cg_solver_e2e(rng):
     x2 = np.asarray(r2.guess[:n] / r2.guess[l - 1])
     obj1, obj2 = float(c @ x1), float(c @ x2)
     assert abs(obj1 - obj2) <= 1e-6 * (1 + abs(obj1))
+
+
+def test_cdot_accuracy(rng):
+    # Compensated f32 dot ~ f64 truth to f32 output rounding, including a
+    # catastrophic-cancellation case a plain f32 dot gets 100% wrong.
+    import jax.numpy as jnp
+    from fos_tpu.linalg.compensated import cdot, cdot_ff, cnorm, ff_add
+
+    x = (rng.standard_normal(4001) * 10.0 ** rng.integers(-3, 4, 4001)).astype(np.float32)
+    y = (rng.standard_normal(4001) * 10.0 ** rng.integers(-3, 4, 4001)).astype(np.float32)
+    exact = float(np.dot(x.astype(np.float64), y.astype(np.float64)))
+    comp = float(cdot(jnp.asarray(x), jnp.asarray(y)))
+    assert abs(comp - exact) / abs(exact) < 1e-6
+    plain = float(jnp.vdot(jnp.asarray(x), jnp.asarray(y)))
+    assert abs(comp - exact) <= abs(plain - exact)
+
+    xc = jnp.asarray([1e8, 1.0, -1e8, 1e-3], jnp.float32)
+    yc = jnp.ones(4, jnp.float32)
+    assert abs(float(cdot(xc, yc)) - 1.001) < 1e-6
+
+    assert float(cnorm(jnp.asarray(x))) == pytest.approx(
+        float(np.linalg.norm(x.astype(np.float64))), rel=1e-6)
+
+    # ff pair difference of two near-equal dots (the HSDE gap pattern)
+    a = cdot_ff(jnp.asarray(x), jnp.asarray(y))
+    bneg = cdot_ff(-jnp.asarray(x), jnp.asarray(y))
+    s = ff_add(a, bneg)
+    assert abs(float(s[0] + s[1])) < 1e-3 * abs(exact) * np.finfo(np.float32).eps
+
+
+def test_cg_compensated_f32_reaches_tighter_tol(rng):
+    # f32 CG with compensated dots solves to a tolerance plain-f32 CG cannot
+    # reliably certify on an ill-conditioned SPD system.
+    import jax.numpy as jnp
+    from fos_tpu.linalg.cg import conjugate_gradient
+
+    n = 400
+    U, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    d = np.logspace(0, 4, n)
+    A = (U * d) @ U.T
+    A32 = jnp.asarray(A, jnp.float32)
+    xstar = rng.standard_normal(n)
+    b = jnp.asarray(A @ xstar, jnp.float32)
+    mv = lambda v: A32 @ v
+    res_c = conjugate_gradient(mv, b, jnp.zeros_like(b), tol=1e-3, max_iters=5000,
+                               compensated=True)
+    true_res = np.linalg.norm(A @ np.asarray(res_c.x, np.float64) - np.asarray(b, np.float64))
+    assert true_res < 5e-3 * np.linalg.norm(np.asarray(b))

@@ -113,3 +113,27 @@ def test_solution_fields(readme):
     it, p = sol.history.get("p")
     assert len(it) >= 1
     assert sol.iters >= 100
+
+
+def test_gapa_tight_f32_with_refine(readme):
+    # The TPU-path answer to the reference's tightest contract
+    # (testDRandGAPA.jl:44-49, eps=1e-9 -> 1e-8 rel-obj): main solve in f32
+    # with compensated reductions (the TPU compute dtype), then the f64
+    # refinement sweep.  Measured: rel-obj ~ 2e-11.
+    import jax.numpy as jnp
+
+    Ac, bc, c, K1, K2, A, b, xstar, opt = readme
+    n = A.shape[1]
+    sol = solve(Ac, bc, c, K1, K2, alg=GAPA(0.5, 0.9), eps=1e-9,
+                max_iters=10000, verbose=0, dtype=jnp.float32, refine=10000)
+    assert sol.status == "Optimal"
+    assert sol.x.dtype == jnp.float64
+    x = np.asarray(sol.x[:n])
+    obj = np.sum((A @ x - b) ** 2)
+    assert abs(obj - opt) / opt < 1e-8
+
+
+def test_unknown_option_rejected(readme):
+    Ac, bc, c, K1, K2, A, b, xstar, opt = readme
+    with pytest.raises(TypeError, match="epsilon"):
+        solve(Ac, bc, c, K1, K2, alg=DR(), epsilon=1e-8, verbose=0)
