@@ -101,8 +101,60 @@ def numpy_baseline():
     print(json.dumps({"iters_per_s": BASE_ITERS / dt}))
 
 
+def _banded_bell_problem(nrb=256, seed=17):
+    """Block-tridiagonal LP with ~1e7 nnz, built DIRECTLY on device in
+    blocked-ELL tile layout (shipping 100+ MB through the axon tunnel is
+    slower than the benchmark itself).  Dense A would be 4.3 GB — past the
+    auto-densify cliff — so this exercises the too-big-to-densify path
+    (VERDICT round 1, missing item 2 / BASELINE config 5)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from fos_tpu.linalg.sparse_ell import BlockedEllOp
+
+    bs = 128
+    m = n = nrb * bs
+    key = jax.random.PRNGKey(seed)
+    kl, kd, ku, kx, ky, ks, kr = jax.random.split(key, 7)
+    scale = float(1.0 / np.sqrt(3 * bs))  # Python float: keeps f32 weak-typed
+    low = jax.random.normal(kl, (nrb, bs, bs), jnp.float32) * scale
+    diag = jax.random.normal(kd, (nrb, bs, bs), jnp.float32) * scale
+    up = jax.random.normal(ku, (nrb, bs, bs), jnp.float32) * scale
+    # edge tiles do not exist: zero their data and alias col 0 (contributes 0)
+    low = low.at[0].set(0.0)
+    up = up.at[-1].set(0.0)
+    blocks = jnp.stack([low, diag, up], axis=1)  # (nrb, 3, bs, bs)
+    i = np.arange(nrb)
+    cols = np.stack([np.maximum(i - 1, 0), i, np.minimum(i + 1, nrb - 1)], 1)
+    # A' layout: block-row j of A' holds up[j-1]', diag[j]', low[j+1]'
+    upT = jnp.swapaxes(jnp.roll(up, 1, axis=0).at[0].set(0.0), -1, -2)
+    diagT = jnp.swapaxes(diag, -1, -2)
+    lowT = jnp.swapaxes(jnp.roll(low, -1, axis=0).at[-1].set(0.0), -1, -2)
+    blocks_t = jnp.stack([upT, diagT, lowT], axis=1)
+    op = BlockedEllOp(blocks, jnp.asarray(cols, jnp.int32),
+                      blocks_t, jnp.asarray(cols, jnp.int32), m, n,
+                      interpret=jax.default_backend() == "cpu")
+    # primal-dual certificate LP
+    x0 = jnp.abs(jax.random.normal(kx, (n,), jnp.float32))
+    y0 = jnp.abs(jax.random.normal(ky, (m,), jnp.float32))
+    s0 = jnp.abs(jax.random.normal(ks, (m,), jnp.float32))
+    r0 = jnp.abs(jax.random.normal(kr, (n,), jnp.float32))
+    xmask = jax.random.bernoulli(kx, 0.5, (n,))
+    ymask = jax.random.bernoulli(ky, 0.5, (m,))
+    x0 = jnp.where(xmask, x0, 0.0)
+    r0 = jnp.where(xmask, 0.0, r0)
+    y0 = jnp.where(ymask, y0, 0.0)
+    s0 = jnp.where(ymask, 0.0, s0)
+    b = op.mv(x0) + s0
+    c = r0 - op.rmv(y0)
+    nnz = int(3 * nrb * bs * bs)
+    return op, b, c, float(jnp.vdot(c, x0)), nnz
+
+
 def tpu_bench():
-    os.environ["FOS_TPU_X64"] = "0"
+    os.environ["FOS_TPU_X64"] = "1"  # refine (f64 continuation) needs x64;
+    # all main-path arrays below are explicit f32
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -193,6 +245,72 @@ def tpu_bench():
     float(jnp.sum(rb.guess))
     batched_iters_per_s = B * 300 / (time.perf_counter() - t0)
 
+    # objective parity vs the f64 path (VERDICT r1 item 1): chunked f32
+    # solve at eps=1e-5, then the f64 continuation (refine) at the same eps.
+    print("f64 parity...", file=sys.stderr)
+    from fos_tpu import solve as _solve
+
+    A64, b64, c64, _ = make_problem(np.float64)
+    sol32c = _solve(A64, b64, c64, nonneg(M), nonneg(N), alg=alg, eps=1e-5,
+                    verbose=0, dtype=jnp.float32)
+    solr = _solve(A64, b64, c64, nonneg(M), nonneg(N), alg=alg, eps=1e-5,
+                  verbose=0, dtype=jnp.float32, refine=3000)
+    obj_f64 = solr.objval
+    obj_vs_f64_rel = abs(sol32c.objval - obj_f64) / abs(obj_f64)
+
+    # sparse paths (VERDICT r1 item 2): 1e7-nnz block-banded blocked-ELL
+    # problem whose dense form (4.3 GB) is past the densify cliff, plus a
+    # 5%-density uniform matrix where blocked-ELL must stay within ~3x of
+    # the densified path (tiles all occupied -> it streams the same bytes).
+    print("sparse bell...", file=sys.stderr)
+    from fos_tpu.problems.conic import ConicProblem
+
+    op, bsp, csp, opt_sp, nnz_sp = _banded_bell_problem()
+    prob_sp = ConicProblem(op, bsp, csp, nonneg(op.m), nonneg(op.n))
+    form_sp = HSDEForm.build(prob_sp, densify=False)
+    run_sp = jax.jit(lambda f, x, eps: fused_solve(alg, f, x, max_iters=300,
+                                                   eps=eps, checki=100, unroll=4))
+    x0sp = form_sp.initial_value(form_sp.dtype)
+    r = run_sp(form_sp, x0sp, 0.0)
+    float(jnp.sum(r.guess))
+    t0 = time.perf_counter()
+    r = run_sp(form_sp, x0sp, 0.0)
+    float(jnp.sum(r.guess))
+    sparse_iters_per_s = 300 / (time.perf_counter() - t0)
+    rq = run_sp(form_sp, x0sp, 1e-5)
+    float(jnp.sum(rq.guess))
+    lsp = op.m + op.n + 1
+    sparse_obj = float(jnp.vdot(csp, rq.guess[: op.n] / rq.guess[lsp - 1]))
+
+    # 5% uniform density: forced bell vs densified, same 2000x2000 problem
+    print("sparse 5pct...", file=sys.stderr)
+    import scipy.sparse as sp
+
+    Asp5 = sp.random(2000, 2000, density=0.05,
+                     random_state=np.random.RandomState(23), format="csr")
+    rng5 = np.random.default_rng(23)
+    b5 = (Asp5 @ np.abs(rng5.standard_normal(2000))).astype(np.float32)
+    c5 = np.abs(rng5.standard_normal(2000)).astype(np.float32)
+    t5 = {}
+    for fmt, dns in (("bell", False), ("dense", "auto")):
+        from fos_tpu.problems.conic import conic_problem
+
+        prob5 = conic_problem(
+            jnp.asarray(Asp5.toarray(), jnp.float32) if fmt == "dense"
+            else Asp5.astype(np.float32),
+            jnp.asarray(b5), jnp.asarray(c5), nonneg(2000), nonneg(2000))
+        form5 = HSDEForm.build(prob5, densify=dns, sparse_format=fmt)
+        run5 = jax.jit(lambda f, x: fused_solve(alg, f, x, max_iters=200,
+                                                eps=0.0, checki=100, unroll=4))
+        x05 = form5.initial_value(form5.dtype)
+        rr = run5(form5, x05)
+        float(jnp.sum(rr.guess))
+        tq0 = time.perf_counter()
+        rr = run5(form5, x05)
+        float(jnp.sum(rr.guess))
+        t5[fmt] = time.perf_counter() - tq0
+    sparse5_ratio = t5["bell"] / t5["dense"]
+
     # baseline subprocess, single BLAS thread
     env = dict(os.environ)
     env.update(OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1",
@@ -218,6 +336,18 @@ def tpu_bench():
             "scaled_dua_res": float(r2.check.d),
             "obj": obj,
             "obj_certificate": opt,
+            "obj_f32_chunked": sol32c.objval,
+            "obj_f64": obj_f64,
+            "obj_vs_f64_rel": round(obj_vs_f64_rel, 8),
+            "sparse_banded_1e7nnz": {
+                "nnz": nnz_sp,
+                "iters_per_s": round(sparse_iters_per_s, 1),
+                "eps1e-5_status": int(rq.status),
+                "eps1e-5_iters": int(rq.iters),
+                "obj": sparse_obj,
+                "obj_certificate": opt_sp,
+            },
+            "sparse_5pct_bell_vs_dense_time_ratio": round(sparse5_ratio, 2),
             "device": str(jax.devices()[0]),
         },
     }))

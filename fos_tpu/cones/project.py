@@ -104,22 +104,58 @@ def _build_plan(blocks: Tuple[Tuple[Cone, int], ...]):
             "rot_p": np.array([p for p, _ in rot_pq], dtype=np.int64),
             "rot_q": np.array([q for _, q in rot_pq], dtype=np.int64),
         }
-    for side, offs in sorted(psd_groups.items()):
-        L = side * (side + 1) // 2
-        # svec order: lower triangle stacked by columns.
-        rows, cols = [], []
-        for j in range(side):
-            for i in range(j, side):
-                rows.append(i)
-                cols.append(j)
-        gather = np.stack([np.arange(o, o + L) for o in offs])  # (nb, L)
+    # Heterogeneous-side bucketing: a spec with many distinct PSD sides
+    # (common in SDP relaxations) would otherwise compile one eigh/poly
+    # pass PER side.  Sides sharing a power-of-2 ceiling are padded into
+    # one batch (PSD projection commutes with zero-padding: eigendecompose
+    # blockdiag(X, 0)), trading <= (S/s)^2 ~ 4x flops on the smaller
+    # blocks for a single fused pass per bucket.
+    if len(psd_groups) > 2:
+        buckets = {}
+        for side, offs in sorted(psd_groups.items()):
+            key = 1 << (side - 1).bit_length()
+            buckets.setdefault(key, []).append((side, offs))
+        grouped = [(max(s for s, _ in entries), entries)
+                   for _, entries in sorted(buckets.items())]
+    else:
+        grouped = [(side, [(side, offs)])
+                   for side, offs in sorted(psd_groups.items())]
+    for S, entries in grouped:
+        LS = S * (S + 1) // 2
+        gather, rows, cols, mask = [], [], [], []
+        for side, offs in entries:
+            L = side * (side + 1) // 2
+            # svec order: lower triangle stacked by columns.
+            r = np.array([i for j in range(side) for i in range(j, side)])
+            c = np.array([j for j in range(side) for i in range(j, side)])
+            pad = LS - L
+            for o in offs:
+                gather.append(np.concatenate(
+                    [np.arange(o, o + L), np.zeros(pad, np.int64)]))
+                rows.append(np.concatenate([r, np.zeros(pad, np.int64)]))
+                cols.append(np.concatenate([c, np.zeros(pad, np.int64)]))
+                mask.append(np.concatenate(
+                    [np.ones(L, bool), np.zeros(pad, bool)]))
+        rows = np.stack(rows)
+        cols = np.stack(cols)
+        mask = np.stack(mask)
+        # padding slots target the first PADDED diagonal position (side,
+        # side) — never a real entry, so scatters can't clobber data
+        for k in range(rows.shape[0]):
+            if not mask[k].all():
+                s_k = int(mask[k].sum())
+                d_k = psd_side_from_len(s_k)
+                rows[k, ~mask[k]] = d_k
+                cols[k, ~mask[k]] = d_k
         plan["psd"].append(
             {
-                "side": side,
-                "gather": gather,
-                "rows": np.array(rows),
-                "cols": np.array(cols),
-                "offdiag": np.array(rows) != np.array(cols),
+                "side": S,
+                "gather": np.stack(gather),      # (nb, LS)
+                "rows": rows,                    # (nb, LS)
+                "cols": cols,
+                "mask": mask,                    # False on padding slots
+                "uniform": bool(mask.all()),
+                "offdiag": (rows != cols) & mask,
             }
         )
     if exp_idx:
@@ -239,20 +275,28 @@ def _rot_positions(soc):
 
 
 def _psd_project_group(x, y, grp, psd_method: str = "eigh"):
-    """Batched PSD projection for all blocks of one matrix side.
+    """Batched PSD projection for all blocks of one bucket (same padded
+    side; heterogeneous real sides zero-padded — projection commutes with
+    zero-padding since eigendecomposition respects block-diagonal zeros).
 
     Matches ProximalOperators ``IndPSD(scaling=true)``: the svec vector holds
     the lower triangle column-stacked with off-diagonals scaled by sqrt(2),
     so ||svec(X)|| = ||X||_F and projection commutes with the layout.
     """
     side = grp["side"]
+    rows, cols = grp["rows"], grp["cols"]  # (nb, L)
+    nb = rows.shape[0]
+    mask = jnp.asarray(grp["mask"])
     vals = x[..., grp["gather"]]  # (..., nb, L)
+    if not grp["uniform"]:
+        vals = jnp.where(mask, vals, 0.0)
     unscale = jnp.where(jnp.asarray(grp["offdiag"]), 1.0 / _SQRT2, 1.0).astype(x.dtype)
     tri = vals * unscale
     batch_shape = vals.shape[:-1]
-    X = jnp.zeros((*batch_shape, side, side), dtype=x.dtype)
-    X = X.at[..., grp["rows"], grp["cols"]].set(tri)
-    X = X.at[..., grp["cols"], grp["rows"]].set(tri)
+    bidx = np.arange(nb)[:, None]
+    X = jnp.zeros((*batch_shape[:-1], nb, side, side), dtype=x.dtype)
+    X = X.at[..., bidx, rows, cols].set(tri)
+    X = X.at[..., bidx, cols, rows].set(tri)
     if psd_method == "poly":
         from fos_tpu.cones.psd_poly import psd_project_poly
 
@@ -261,8 +305,13 @@ def _psd_project_group(x, y, grp, psd_method: str = "eigh"):
         w, V = jnp.linalg.eigh(X)
         w = jnp.maximum(w, 0.0)
         Xp = jnp.einsum("...ik,...k,...jk->...ij", V, w, V)
-    out = Xp[..., grp["rows"], grp["cols"]] * (1.0 / unscale)
-    return y.at[..., grp["gather"]].set(out)
+    out = Xp[..., bidx, rows, cols] * (1.0 / unscale)
+    if grp["uniform"]:
+        return y.at[..., grp["gather"]].set(out)
+    # masked scatter via add-of-delta: padded slots contribute exactly 0,
+    # so their duplicate target indices cannot corrupt y
+    delta = jnp.where(mask, out - y[..., grp["gather"]], 0.0)
+    return y.at[..., grp["gather"]].add(delta)
 
 
 @functools.lru_cache(maxsize=None)

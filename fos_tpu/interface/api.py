@@ -83,6 +83,7 @@ def solve(A=None, b=None, c=None, K1: ConeSpec = None, K2: ConeSpec = None,
         strict_certificates=bool(opts.pop("strict_certificates", False)),
         densify=opts.pop("densify", "auto"),
         compensated=opts.pop("compensated", "auto"),
+        sparse_format=opts.pop("sparse_format", "auto"),
     )
     init_duration = time.time() - t0
     if initx is not None:

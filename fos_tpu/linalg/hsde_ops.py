@@ -48,6 +48,8 @@ def mv_pair(A, x1, x2):
     (Pallas PaddedDenseOp), two passes otherwise."""
     if hasattr(A, "mv_pair"):
         return A.mv_pair(x1, x2)
+    if hasattr(A, "mv"):  # BlockedEllOp: separate A / A' tile layouts
+        return A.mv(x1), A.rmv(x2)
     return A @ x1, A.T @ x2
 
 
@@ -72,7 +74,8 @@ def q_dense(A, b, c):
     """Materialize Q (for direct mode and test oracles)."""
     if hasattr(A, "A_pad"):
         A = A.A_pad[: A.m, : A.n]
-    if isinstance(A, jsparse.BCOO):
+    if isinstance(A, jsparse.BCOO) or (hasattr(A, "todense")
+                                       and not isinstance(A, jnp.ndarray)):
         A = A.todense()
     n = c.shape[0]
     m = b.shape[0]

@@ -212,6 +212,22 @@ class BlockedEllOp:
         raise TypeError("BlockedEllOp is f32-only (TPU kernel dtype)")
 
 
+def bell_storage_ratio(A, bm=128, bn=128) -> float:
+    """Padded blocked-ELL storage (both A and A' layouts) relative to one
+    dense copy — the build layer's profitability estimate.  Computed from
+    the index pattern only (no tile data materialized)."""
+    rows, cols, _, m, n = _coo_parts(A)
+    nrb = math.ceil(m / bm)
+    ncb = math.ceil(n / bn)
+    ti = rows // bm
+    tj = cols // bn
+    pair = ti.astype(np.int64) * ncb + tj
+    upair = np.unique(pair)
+    kmax = int(np.bincount(upair // ncb, minlength=nrb).max()) if upair.size else 1
+    kmax_t = int(np.bincount(upair % ncb, minlength=ncb).max()) if upair.size else 1
+    return ((nrb * kmax + ncb * kmax_t) * bm * bn) / float(m * n)
+
+
 def _coo_parts(A):
     """Extract (rows, cols, vals, m, n) from scipy.sparse or BCOO."""
     if hasattr(A, "tocoo"):  # scipy.sparse

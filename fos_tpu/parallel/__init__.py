@@ -5,5 +5,6 @@ from fos_tpu.parallel.batched import (  # noqa: F401
 from fos_tpu.parallel.sharding import (  # noqa: F401
     make_mesh,
     shard_batched_form,
+    shard_problem_2d,
     shard_problem_rows,
 )

@@ -71,3 +71,22 @@ def shard_problem_rows(form, mesh: Mesh, axis: str = "model"):
             "m != n (square problems would mis-shard c); pad A with a "
             "redundant row or use shard_problem_2d")
     return jax.tree_util.tree_map(put, form)
+
+
+def shard_problem_2d(A, b, c, mesh: Mesh, axes=("model_r", "model_c")):
+    """2D block-shard one large problem's data BEFORE building the form:
+    ``A: P(r, c)``, ``b: P(r)``, ``c: P(c)``; everything derived inside
+    ``HSDEForm.build`` (norms, projector state) and the solver iterate then
+    inherit layouts from GSPMD propagation — the CG matvec becomes local
+    GEMM blocks + an all-reduce over the contracted axis on ICI, exactly
+    the communication points of SURVEY.md §5.
+
+    Returns device_put (A, b, c); pass them to ``conic_problem`` /
+    ``HSDEForm.build`` as usual.  Sharding the raw data (rather than the
+    built form pytree) keeps b/c unambiguous when m == n.
+    """
+    r, cx = axes
+    A = jax.device_put(A, NamedSharding(mesh, P(r, cx)))
+    b = jax.device_put(b, NamedSharding(mesh, P(r)))
+    c = jax.device_put(c, NamedSharding(mesh, P(cx)))
+    return A, b, c

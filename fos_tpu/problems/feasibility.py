@@ -94,18 +94,29 @@ class FeasibilityForm:
 
         return printing.feasibility_row(i, float(chk.err), t_s)
 
-    def record(self, hist, st, chk: FeasibilityCheck, i: int, t_s: float, debug: int):
+    @property
+    def wants_extra(self) -> bool:
+        """Feasibility runs record logextra snapshots (the reference's HSDE
+        logextra is a no-op, HSDEStatus.jl:18-20; FeasibilityStatus saves,
+        FeasibilityStatus.jl:19-25)."""
+        return True
+
+    def record(self, hist, st, chk: FeasibilityCheck, i: int, t_s: float,
+               debug: int, extra=None):
         if hist is None or debug <= 0:
             return
         hist.push("err", i, float(chk.err))
         hist.push("t", i, t_s)
+        if extra is not None:
+            import numpy as np
+
+            # logextra parity (FeasibilityStatus.jl:19-25 via gap.jl:44-49):
+            # the check iteration's S1-stage triple (x, P_S1 x, relaxed).
+            hist.push("extra", i, [np.asarray(v) for v in extra])
         if debug > 1:
             import numpy as np
 
             hist.push("z", i, np.asarray(st.z_check))
-            # 'extra' channel: intermediate projection snapshots around the
-            # check (role of FeasibilityStatus.logextra, FeasibilityStatus.jl:19-25)
-            hist.push("extra", i, [np.asarray(st.z_check_prev), np.asarray(st.z_check)])
 
 
 def populate_feasibility_solution(form, guess, status_code: int, iters: int,

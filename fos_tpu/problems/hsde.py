@@ -93,14 +93,15 @@ class HSDEForm:
               cg_variant: str = "standard",
               equilibrate: bool = False, equilibrate_iters: int = 10,
               strict_certificates: bool = False, densify="auto",
-              compensated="auto") -> "HSDEForm":
+              compensated="auto", sparse_format="auto") -> "HSDEForm":
         A = problem.A
         b = problem.b
         c = problem.c
         # Sparse policy: BCOO matvec lowers to gather/scatter on TPU and is
         # >10x slower than the densified matvec even at 5% density
         # (measured); auto-densify on accelerators when the dense form fits
-        # comfortably in HBM.  Pass densify=False to keep BCOO.
+        # comfortably in HBM.  Pass densify=False to keep A sparse, and see
+        # sparse_format below for the Pallas blocked-ELL fast path.
         if densify and hasattr(A, "todense"):
             import jax as _jax
 
@@ -115,14 +116,28 @@ class HSDEForm:
         norm_c = jnp.linalg.norm(c)
         dinv = einv = None
         if equilibrate:
-            from fos_tpu.problems.scaling import ruiz_equilibrate
-
-            if hasattr(A, "todense"):
-                raise ValueError("equilibrate requires dense A")
             dtype = b.dtype
-            As, bs, cs, dvec, evec = ruiz_equilibrate(
-                A, b, c, problem.K1, problem.K2, iters=equilibrate_iters)
-            A = jnp.asarray(As, dtype)
+            if hasattr(A, "todense"):
+                # Sparse path: host-side Ruiz on the nonzeros only
+                # (scaling.py: ruiz_equilibrate_sparse); A stays sparse.
+                import numpy as _np
+                import scipy.sparse as _sp
+                from jax.experimental.sparse import BCOO as _BCOO
+
+                from fos_tpu.problems.scaling import ruiz_equilibrate_sparse
+
+                idx = _np.asarray(A.indices)
+                Asp = _sp.coo_matrix(
+                    (_np.asarray(A.data), (idx[:, 0], idx[:, 1])), shape=A.shape)
+                As, bs, cs, dvec, evec = ruiz_equilibrate_sparse(
+                    Asp, b, c, problem.K1, problem.K2, iters=equilibrate_iters)
+                A = _BCOO.from_scipy_sparse(As.astype(_np.dtype(dtype)))
+            else:
+                from fos_tpu.problems.scaling import ruiz_equilibrate
+
+                As, bs, cs, dvec, evec = ruiz_equilibrate(
+                    A, b, c, problem.K1, problem.K2, iters=equilibrate_iters)
+                A = jnp.asarray(As, dtype)
             b = jnp.asarray(bs, dtype)
             c = jnp.asarray(cs, dtype)
             dinv = jnp.asarray(1.0 / dvec, dtype)
@@ -130,6 +145,16 @@ class HSDEForm:
             import dataclasses as _dc
 
             problem = _dc.replace(problem, A=A, b=b, c=c)
+        # Sparse fast path: pack a still-sparse A into MXU-native 128x128
+        # tiles with a Pallas ELL SpMV (linalg/sparse_ell.py) when the tile
+        # occupancy makes it profitable ("auto": stored tiles < 50% of the
+        # dense grid); "bell" forces it, "bcoo" keeps gather-based BCOO.
+        if (hasattr(A, "indices") and sparse_format in ("auto", "bell")
+                and jnp.dtype(b.dtype) == jnp.float32):  # the kernel is f32
+            from fos_tpu.linalg.sparse_ell import BlockedEllOp, bell_storage_ratio
+
+            if sparse_format == "bell" or bell_storage_ratio(A) < 0.5:
+                A = BlockedEllOp.create(A)
         # NOTE on pallas: measured on TPU v5e, XLA already fuses the
         # (A@z1, A'@z2) pair of the Q matvec into a single HBM pass at the
         # practical bandwidth ceiling (pair ~= single matvec cost), so the
@@ -139,18 +164,27 @@ class HSDEForm:
 
             if not isinstance(A, PaddedDenseOp):
                 A = PaddedDenseOp.create(A)
-        # Compensated (float-float) reductions: on by default for f32 data
-        # (the TPU path), where plain reductions carry O(n*eps) ~ 1e-4
-        # error; pointless at f64 (linalg/compensated.py).
+        # Compensated (float-float) reductions (linalg/compensated.py):
+        # - convergence CHECK: auto-on for f32 data — runs once per checki,
+        #   negligible cost, and makes the reported residuals / the
+        #   cancellation-prone duality gap honest to ~f64 (measured: agrees
+        #   with f64 recomputation to 6 digits, PERF.md);
+        # - CG dot products: opt-in (compensated=True) — the ~30 extra tiny
+        #   sequential ops per CG iteration cost 2.7x throughput at 1000^2
+        #   where per-op overhead dominates, and plain-f32 dots already
+        #   reach the default operating points.
         if compensated == "auto":
-            compensated = jnp.dtype(b.dtype) == jnp.float32
-        compensated = bool(compensated)
+            comp_check = jnp.dtype(b.dtype) == jnp.float32
+            comp_cg = False
+        else:
+            comp_check = comp_cg = bool(compensated)
         s1 = HSDEAffineProjector.create(
             A, b, c,
             direct=direct, decreasing_accuracy=not direct,
             cg_max_iters=cg_max_iters, tol_floor=cg_tol_floor,
-            cg_variant=cg_variant, compensated=compensated,
+            cg_variant=cg_variant, compensated=comp_cg,
         )
+        compensated = comp_check
         s2 = ConeSet(hsde_cone_spec(problem.K1, problem.K2), psd_method)
         assert s2.spec.dim == 2 * s1.l
         return cls(
@@ -283,9 +317,11 @@ class HSDEForm:
             cgiter=self._cgiter(st),
         )
 
-    def record(self, hist, st, chk: HSDECheck, i: int, t_s: float, debug: int):
+    def record(self, hist, st, chk: HSDECheck, i: int, t_s: float, debug: int,
+               extra=None):
         """History rows (HSDEStatus.jl:125-139): p,d,g,ctx,bty,kappa,tau,t;
-        debug>1 additionally x,y,s."""
+        debug>1 additionally x,y,s.  ``extra`` is ignored: the reference's
+        HSDE logextra is a deliberate no-op (HSDEStatus.jl:18-20)."""
         if hist is None or debug <= 0:
             return
         for key, val in (

@@ -165,6 +165,14 @@ class Algorithm:
     def step(self, sets: TwoSets, st: SolverState) -> SolverState:
         raise NotImplementedError
 
+    def step_logged(self, sets: TwoSets, st: SolverState):
+        """Step plus ``logextra`` snapshots — the (x, P_S1 x, relaxed)
+        triple the reference records at check iterations for feasibility
+        problems (FeasibilityStatus.jl:19-25 gated on i % checki == 0;
+        only GAP/GAPA's S1! call logextra, gap.jl:44-49, gapa.jl:63-68).
+        Algorithms without reference logextra calls return ``None``."""
+        return self.step(sets, st), None
+
     def getsol(self, sets: TwoSets, st: SolverState):
         """Final solution guess ``P_S2(P_S1(x))`` (gap.jl:82-87)."""
         y1, s1_state = sets.s1.project(st.x, st.s1_state)
@@ -188,9 +196,10 @@ class Algorithm:
         return merged
 
 
-def _gap_like_step(alg, sets, st, planes=None):
+def _gap_like_step(alg, sets, st, planes=None, snap=False):
     """The shared two-relaxed-projections step (gap.jl:61-80), with optional
-    supporting-plane capture for the longstep wrapper."""
+    supporting-plane capture for the longstep wrapper and optional S1-stage
+    snapshots (``logextra`` parity, see :meth:`Algorithm.step_logged`)."""
     alpha = alg.alpha
     a1, a2 = alg.coeffs(st.aux)
     y1, s1_state = sets.s1.project(st.x, st.s1_state)
@@ -200,6 +209,7 @@ def _gap_like_step(alg, sets, st, planes=None):
     planes = capture_ineq(planes, tmp1, z)
     tmp2 = a2 * z + (1.0 - a2) * tmp1
     x_new = alpha * tmp2 + (1.0 - alpha) * st.x
+    snaps = jnp.stack([st.x, y1, tmp1]) if snap else None
     return st._replace(
         x=x_new,
         i=st.i + 1,
@@ -207,7 +217,7 @@ def _gap_like_step(alg, sets, st, planes=None):
         z_check_prev=st.z_check,
         s1_state=s1_state,
         s2_state=s2_state,
-    ), tmp1, tmp2, planes
+    ), tmp1, tmp2, planes, snaps
 
 
 @dataclass(frozen=True)
@@ -227,11 +237,15 @@ class GAP(Algorithm):
         return self.alpha1, self.alpha2
 
     def step(self, sets, st):
-        st, _, _, _ = _gap_like_step(self, sets, st)
+        st, _, _, _, _ = _gap_like_step(self, sets, st)
         return st
 
+    def step_logged(self, sets, st):
+        st, _, _, _, snaps = _gap_like_step(self, sets, st, snap=True)
+        return st, snaps
+
     def step_capture(self, sets, st, planes):
-        st, _, _, planes = _gap_like_step(self, sets, st, planes)
+        st, _, _, planes, _ = _gap_like_step(self, sets, st, planes)
         return st, planes
 
     @property
@@ -279,8 +293,17 @@ class GAPA(Algorithm):
         st2, _ = self.step_capture(sets, st, None)
         return st2
 
+    def step_logged(self, sets, st):
+        st2, _, snaps = self._step_inner(sets, st, None, snap=True)
+        return st2, snaps
+
     def step_capture(self, sets, st, planes):
-        st2, tmp1, tmp2, planes = _gap_like_step(self, sets, st, planes)
+        st2, planes, _ = self._step_inner(sets, st, planes)
+        return st2, planes
+
+    def _step_inner(self, sets, st, planes, snap=False):
+        st2, tmp1, tmp2, planes, snaps = _gap_like_step(self, sets, st, planes,
+                                                        snap=snap)
         # Friedrichs angle estimate from (x, tmp1, tmp2) (gapa.jl:36-47)
         d1 = tmp2 - tmp1
         d2 = tmp1 - st.x
@@ -291,7 +314,7 @@ class GAPA(Algorithm):
         s = jnp.sqrt(1.0 - scl**2)
         aopt = 2.0 / (1.0 + s)
         a12 = (1.0 - self.beta) * aopt + 2.0 * self.beta
-        return st2._replace(aux=a12.astype(st.x.dtype)), planes
+        return st2._replace(aux=a12.astype(st.x.dtype)), planes, snaps
 
     @property
     def support_linesearch(self):
@@ -325,7 +348,7 @@ class GAPP(Algorithm):
 
     def step(self, sets, st):
         def normal_branch(st):
-            st2, _, _, _ = _gap_like_step(self, sets, st)
+            st2, _, _, _, _ = _gap_like_step(self, sets, st)
             return st2
 
         def proj_branch(st):

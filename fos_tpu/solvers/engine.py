@@ -38,7 +38,7 @@ EXTRA_OPTIONS = frozenset({"check_finite", "profile_dir"})
 FORM_OPTIONS = frozenset({
     "cg_max_iters", "cg_tol_floor", "cg_variant", "pallas", "psd_method",
     "equilibrate", "equilibrate_iters", "strict_certificates", "densify",
-    "refine", "refine_kwargs", "compensated",
+    "refine", "refine_kwargs", "compensated", "sparse_format",
 })
 
 
@@ -61,6 +61,20 @@ def _run_chunk(alg, form, st: SolverState, nsteps: int, eps: float):
     st = jax.lax.fori_loop(0, nsteps, body, st)
     chk = form.check(st.z_check, eps, prev=st.z_check_prev)
     return st, chk
+
+
+@functools.partial(jax.jit, static_argnames=("alg", "nsteps", "eps"))
+def _run_chunk_logged(alg, form, st: SolverState, nsteps: int, eps: float):
+    """Chunk variant for logextra parity: the LAST iteration of the chunk is
+    the check iteration (i % checki == 0 in the reference), so it runs as
+    ``step_logged`` and its S1-stage snapshots ride back with the check."""
+    def body(_, st):
+        return alg.step(form.sets, st)
+
+    st = jax.lax.fori_loop(0, nsteps - 1, body, st)
+    st, snaps = alg.step_logged(form.sets, st)
+    chk = form.check(st.z_check, eps, prev=st.z_check_prev)
+    return st, chk, snaps
 
 
 @functools.partial(jax.jit, static_argnames=("alg", "nsteps"))
@@ -207,14 +221,21 @@ def run(form, alg, *, initx=None, init_duration: float = 0.0,
     # checkpoint left off (a fresh max_iters budget still applies).
     i = int(st.i) if resume_state is not None else 0
     checked = False
+    # logextra parity: feasibility-form runs at debug>0 record the S1-stage
+    # snapshot triple at every check iteration (FeasibilityStatus.jl:19-25)
+    log_extra = debug > 0 and getattr(form, "wants_extra", False)
     nchunks, rem = divmod(max_iters, checki)
     for _ in range(nchunks):
-        st, chk = _run_chunk(alg, form, st, checki, eps)
+        if log_extra:
+            st, chk, snaps = _run_chunk_logged(alg, form, st, checki, eps)
+        else:
+            st, chk = _run_chunk(alg, form, st, checki, eps)
+            snaps = None
         i += checki
         checked = True
         status_code = int(chk.status)
         t_elapsed = time.time() - t_init
-        form.record(hist, st, chk, i, t_elapsed, debug)
+        form.record(hist, st, chk, i, t_elapsed, debug, extra=snaps)
         if verbose > 0:
             print(form.row(st, chk, i, t_elapsed))
             if status_code == Status.OPTIMAL:
@@ -247,7 +268,7 @@ def run(form, alg, *, initx=None, init_duration: float = 0.0,
         guess, st, chk = _final_check(alg, form, st, eps)
         status_code = int(chk.status)
         t_elapsed = time.time() - t_init
-        form.record(hist, st, chk, i, t_elapsed, debug)
+        form.record(hist, st, chk, i, t_elapsed, debug, extra=None)
         if verbose > 0:
             print(form.row(st, chk, i, t_elapsed))
             if status_code == Status.OPTIMAL:

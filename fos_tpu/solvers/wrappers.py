@@ -162,6 +162,9 @@ class AndersonWrapper(Algorithm):
     memory: int = 10
     reg: float = 1e-10
     safeguard: float = 2.0
+    adaptive: bool = True
+    stall_window: int = 30
+    stall_decay: float = 0.9
     options: Tuple[Tuple[str, Any], ...] = ()
 
     def init_aux(self, x0):
@@ -173,14 +176,18 @@ class AndersonWrapper(Algorithm):
             jnp.zeros((k, dim), x0.dtype),            # F buffer
             jnp.asarray(0, jnp.int32),                # count (since last reset)
             jnp.asarray(jnp.inf, x0.dtype),           # previous residual norm
+            jnp.full((self.stall_window,), jnp.inf, x0.dtype),  # fn history ring
+            jnp.asarray(not self.adaptive),           # engaged flag
+            jnp.asarray(0, jnp.int32),                # total step counter
         )
 
     def coeffs(self, aux):
         return self.alg.coeffs(aux[0])
 
     def step(self, sets, st: SolverState) -> SolverState:
-        inner_aux, Xb, Fb, count, prev_fn = st.aux
+        inner_aux, Xb, Fb, count, prev_fn, fnbuf, engaged, tstep = st.aux
         k = self.memory
+        W = self.stall_window
 
         st_inner = st._replace(aux=inner_aux)
         st2 = self.alg.step(sets, st_inner)
@@ -188,8 +195,20 @@ class AndersonWrapper(Algorithm):
         f = x_plain - st.x
         fn = jnp.linalg.norm(f)
 
+        # Adaptive engagement: AA only turns on once the plain iteration's
+        # residual decay STALLS (fn has not decayed by stall_decay over the
+        # last stall_window steps) — easy problems never pay AA's overhead
+        # (PERF.md: plain DR beats always-on AA under ~1k iterations); on
+        # hard problems AA engages with a freshly flushed memory.
+        oldest = fnbuf[tstep % W]
+        stalled = (tstep >= W) & (fn > self.stall_decay * oldest)
+        newly_engaged = stalled & ~engaged
+        engaged = engaged | stalled
+        fnbuf = fnbuf.at[tstep % W].set(fn)
+        tstep = tstep + 1
+
         # safeguard: residual grew too much -> flush memory, take plain step
-        reset = fn > self.safeguard * prev_fn
+        reset = (fn > self.safeguard * prev_fn) | newly_engaged
         count = jnp.where(reset, 0, count)
 
         slot = count % k
@@ -216,11 +235,12 @@ class AndersonWrapper(Algorithm):
         alpha = w / jnp.sum(w)
         x_aa = alpha @ (Xb + Fb)
 
-        # use AA once we have >= 2 pairs and the solve stayed finite
-        use_aa = (count >= 2) & jnp.all(jnp.isfinite(x_aa))
+        # use AA once engaged, with >= 2 pairs, and the solve stayed finite
+        use_aa = engaged & (count >= 2) & jnp.all(jnp.isfinite(x_aa))
         x_new = jnp.where(use_aa, x_aa, x_plain)
 
-        return st2._replace(x=x_new, aux=(st2.aux, Xb, Fb, count, fn))
+        return st2._replace(
+            x=x_new, aux=(st2.aux, Xb, Fb, count, fn, fnbuf, engaged, tstep))
 
     def getsol(self, sets, st):
         inner_aux = st.aux[0]

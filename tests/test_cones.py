@@ -250,3 +250,48 @@ def test_project_psd_method_option(rng):
     y_eigh = np.asarray(project(spec, x, psd_method="eigh"))
     y_poly = np.asarray(project(spec, x, psd_method="poly"))
     np.testing.assert_allclose(y_poly, y_eigh, atol=1e-9)
+
+
+def test_psd_heterogeneous_sides_bucketed(rng):
+    # Many distinct PSD sides must (a) project correctly and (b) compile
+    # into few padded buckets rather than one pass per side.
+    from fos_tpu.cones import psd, nonneg
+    from fos_tpu.cones.project import _build_plan, project
+    from fos_tpu.cones.spec import ConeSpec
+
+    sides = [2, 3, 5, 6, 9, 16]
+    spec = ConeSpec.concat([nonneg(4)] + [psd(s) for s in sides])
+    plan = _build_plan(spec.blocks)
+    assert len(plan["psd"]) < len(sides)  # bucketed
+
+    x = jnp.asarray(rng.standard_normal(spec.dim))
+    y = np.asarray(project(spec, x, psd_method="eigh"))
+
+    # oracle: per-block dense eigh projection
+    from fos_tpu.cones.project import svec, smat
+    off = 4
+    assert np.all(y[:4] >= 0)
+    for s in sides:
+        L = s * (s + 1) // 2
+        X = np.asarray(smat(jnp.asarray(x[off : off + L])))
+        w, V = np.linalg.eigh(X)
+        Xp = (V * np.maximum(w, 0)) @ V.T
+        expect = np.asarray(svec(jnp.asarray(Xp)))
+        np.testing.assert_allclose(y[off : off + L], expect, atol=1e-10)
+        off += L
+
+
+def test_psd_bucketed_batch_and_dual(rng):
+    from fos_tpu.cones import psd
+    from fos_tpu.cones.project import project, project_dual
+    from fos_tpu.cones.spec import ConeSpec
+
+    spec = ConeSpec.concat([psd(2), psd(4), psd(7), psd(8)])
+    x = jnp.asarray(rng.standard_normal((5, spec.dim)))
+    y = project(spec, x, psd_method="eigh")
+    # idempotence + Moreau under batching
+    np.testing.assert_allclose(np.asarray(project(spec, y, psd_method="eigh")),
+                               np.asarray(y), atol=1e-9)
+    md = np.asarray(x + project(spec, -x, psd_method="eigh"))
+    np.testing.assert_allclose(np.asarray(project_dual(spec, x, psd_method="eigh")),
+                               md, atol=1e-9)

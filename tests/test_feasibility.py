@@ -109,3 +109,25 @@ def test_fused_feasibility(problem):
     x = np.asarray(res.guess)
     assert x.min() > -1e-10
     assert np.max(np.abs(A @ x - b)) < 1e-6
+
+
+def test_logextra_snapshots():
+    # logextra parity (FeasibilityStatus.jl:19-25 + gap.jl:44-49): at every
+    # check iteration, history's "extra" holds the S1-stage triple
+    # (x, P_S1 x, relaxed) of that iteration; the relaxed entry must equal
+    # a1*P_S1(x) + (1-a1)*x.
+    rng = np.random.default_rng(7)
+    xsol = np.abs(rng.standard_normal(40))
+    A = rng.standard_normal((20, 40))
+    b = A @ xsol
+    S1 = AffineSet.create(A, b)
+    prob = Feasibility(S1, NonNeg(), 40)
+    alg = GAP(0.8, 1.8, 1.8)
+    sol = solve_feasibility(prob, alg, eps=1e-12, verbose=0, max_iters=500,
+                            checki=100, debug=1)
+    iters, extras = sol.history.get("extra")
+    assert len(extras) >= 1
+    x, y, relaxed = extras[0]
+    # y is the affine projection of x; relaxed = 1.8*y - 0.8*x
+    np.testing.assert_allclose(A @ y, b, atol=1e-8)
+    np.testing.assert_allclose(relaxed, 1.8 * y - 0.8 * x, atol=1e-10)

@@ -137,3 +137,72 @@ def test_row_sharded_single_problem(rng):
     # comparable convergence to the unsharded run after the same budget
     assert float(res_sh.check.p) <= 10 * float(res_plain.check.p) + 1e-9
     assert float(res_sh.check.d) <= 10 * float(res_plain.check.d) + 1e-9
+
+
+def test_2d_sharded_single_problem(rng):
+    # SURVEY.md §7 step 7 "then 2D": A block-sharded over a (model_r,
+    # model_c) mesh; objective-level agreement with the replicated path.
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from fos_tpu.parallel import shard_problem_2d
+
+    m, n = 32, 32  # square on purpose: the 2D path has no shape ambiguity
+    A, b, c = _lp_batch(rng, B=1, m=m, n=n)
+    A, b, c = A[0], b[0], c[0]
+    prob = conic_problem(jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
+                         nonneg(m), nonneg(n))
+    form = HSDEForm.build(prob)
+    res_plain = fused_solve(DR(), form, form.initial_value(form.dtype),
+                            max_iters=8000, eps=1e-6, checki=100)
+
+    mesh = make_mesh((4, 2), ("model_r", "model_c"))
+    A2, b2, c2 = shard_problem_2d(jnp.asarray(A), jnp.asarray(b),
+                                  jnp.asarray(c), mesh)
+    prob2 = conic_problem(A2, b2, c2, nonneg(m), nonneg(n))
+    form2 = HSDEForm.build(prob2)
+    fn = jax.jit(lambda f, x0: fused_solve(DR(), f, x0, max_iters=8000,
+                                           eps=1e-6, checki=100))
+    res_sh = fn(form2, form2.initial_value(form2.dtype))
+    assert int(res_sh.status) == Status.OPTIMAL
+    assert int(res_plain.status) == Status.OPTIMAL
+    l = m + n + 1
+    x_p = np.asarray(res_plain.guess[:n] / res_plain.guess[l - 1])
+    x_s = np.asarray(res_sh.guess[:n] / res_sh.guess[l - 1])
+    obj_p, obj_s = float(c @ x_p), float(c @ x_s)
+    assert abs(obj_p - obj_s) <= 1e-4 * (1 + abs(obj_p))
+    # residuals recomputed in numpy from the sharded guess must match the
+    # device-computed check values
+    g = np.asarray(res_sh.guess)
+    x, tau = g[:n], g[l - 1]
+    s = g[l + n : l + n + m]
+    p_np = np.linalg.norm(A @ (x / tau) + s / tau - b) / (1 + np.linalg.norm(b))
+    assert abs(p_np - float(res_sh.check.p)) < 1e-9 * (1 + p_np)
+
+
+def test_2d_sharded_equals_row_sharded(rng):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from fos_tpu.parallel import shard_problem_2d
+
+    m, n = 48, 24
+    A, b, c = _lp_batch(rng, B=1, m=m, n=n)
+    A, b, c = A[0], b[0], c[0]
+    mesh = make_mesh((2, 4), ("model_r", "model_c"))
+    A2, b2, c2 = shard_problem_2d(jnp.asarray(A), jnp.asarray(b),
+                                  jnp.asarray(c), mesh)
+    prob2 = conic_problem(A2, b2, c2, nonneg(m), nonneg(n))
+    form2 = HSDEForm.build(prob2)
+    fn = jax.jit(lambda f, x0: fused_solve(DR(), f, x0, max_iters=2000,
+                                           eps=1e-7, checki=100))
+    res2 = fn(form2, form2.initial_value(form2.dtype))
+
+    prob1 = conic_problem(jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
+                          nonneg(m), nonneg(n))
+    form1 = HSDEForm.build(prob1)
+    res1 = fused_solve(DR(), form1, form1.initial_value(form1.dtype),
+                       max_iters=2000, eps=1e-7, checki=100)
+    assert int(res2.status) == int(res1.status)
+    l = m + n + 1
+    x1 = np.asarray(res1.guess[:n] / res1.guess[l - 1])
+    x2 = np.asarray(res2.guess[:n] / res2.guess[l - 1])
+    assert abs(float(c @ x1) - float(c @ x2)) <= 1e-5 * (1 + abs(float(c @ x1)))

@@ -203,3 +203,24 @@ def test_anderson_fused(rng):
                       form.initial_value(form.dtype), max_iters=20000,
                       eps=1e-7, checki=100)
     assert int(res.status) == Status.OPTIMAL
+
+
+def test_anderson_adaptive_no_easy_regression(rng):
+    # Adaptive engagement: on an easy problem AA must not engage early and
+    # must land within ~1.2x of plain DR's iteration count (always-on AA
+    # used to lose to plain DR here, PERF.md).
+    from fos_tpu import AndersonWrapper, solve
+    from fos_tpu.cones import nonneg
+
+    m, n = 20, 30
+    A = rng.standard_normal((m, n))
+    x0 = np.abs(rng.standard_normal(n))
+    b = A @ x0 + np.abs(rng.standard_normal(m))
+    c = np.abs(rng.standard_normal(n))
+    plain = solve(A, b, c, nonneg(m), nonneg(n), alg=DR(), eps=1e-6, verbose=0,
+                  max_iters=40000)
+    aa = solve(A, b, c, nonneg(m), nonneg(n),
+               alg=AndersonWrapper(alg=DR(), adaptive=True),
+               eps=1e-6, verbose=0, max_iters=40000)
+    assert plain.status == aa.status == "Optimal"
+    assert aa.iters <= max(plain.iters * 1.2, plain.iters + 200)
