@@ -211,7 +211,9 @@ def tpu_bench():
         print(f"scaling {mn}...", file=sys.stderr)
         key = jax.random.PRNGKey(11)
         k1, k2, k3, k4 = jax.random.split(key, 4)
-        A2 = jax.random.normal(k1, (mn, mn), jnp.float32) / np.sqrt(mn)
+        # float(): a numpy f64 scalar would silently promote A2 to f64
+        # under x64 and crash the worker with emulated-f64 at this size
+        A2 = jax.random.normal(k1, (mn, mn), jnp.float32) / float(np.sqrt(mn))
         b2 = A2 @ jnp.abs(jax.random.normal(k2, (mn,), jnp.float32))
         c2 = jnp.abs(jax.random.normal(k3, (mn,), jnp.float32))
         prob2 = conic_problem(A2, b2, c2, nonneg(mn), nonneg(mn))
@@ -234,8 +236,9 @@ def tpu_bench():
     key = jax.random.PRNGKey(13)
     k1, k2, k3, k4 = jax.random.split(key, 4)
     A3 = jax.random.normal(k1, (B, bm, bn), jnp.float32)
-    b3 = (jnp.einsum("bmn,bn->bm", A3, jnp.abs(jax.random.normal(k2, (B, bn))))
-          + jnp.abs(jax.random.normal(k3, (B, bm)))).astype(jnp.float32)
+    b3 = (jnp.einsum("bmn,bn->bm", A3,
+                     jnp.abs(jax.random.normal(k2, (B, bn), jnp.float32)))
+          + jnp.abs(jax.random.normal(k3, (B, bm), jnp.float32)))
     c3 = jnp.abs(jax.random.normal(k4, (B, bn), jnp.float32))
     form3 = build_batched_form(A3, b3, c3, nonneg(bm), nonneg(bn))
     rb = solve_batched(alg, form3, max_iters=300, eps=0.0, checki=100, unroll=4)
@@ -277,7 +280,10 @@ def tpu_bench():
     r = run_sp(form_sp, x0sp, 0.0)
     float(jnp.sum(r.guess))
     sparse_iters_per_s = 300 / (time.perf_counter() - t0)
-    rq = run_sp(form_sp, x0sp, 1e-5)
+    # quality run gets a real convergence budget
+    run_spq = jax.jit(lambda f, x: fused_solve(alg, f, x, max_iters=6000,
+                                               eps=1e-5, checki=100, unroll=4))
+    rq = run_spq(form_sp, x0sp)
     float(jnp.sum(rq.guess))
     lsp = op.m + op.n + 1
     sparse_obj = float(jnp.vdot(csp, rq.guess[: op.n] / rq.guess[lsp - 1]))

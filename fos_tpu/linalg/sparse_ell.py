@@ -40,56 +40,89 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _bell_mv_kernel(cols_ref, blocks_ref, x_ref, y_ref):
-    """One grid step: y[i] (+)= blocks[i, k] @ x[cols[i, k]].
+def _bell_mv_kernel(cols_ref, blocks_ref, x_ref, y_ref, *, kt):
+    """One grid step: y[i] (+)= sum_kk blocks[i, kb*kt+kk] @ x[cols[...]].
 
-    Grid is (nrb, kmax) with k fastest, so the y block stays resident in
-    VMEM across the accumulation.  Padding tiles are stored as zeros —
-    correctness does not depend on masking them.
+    Grid is (nrb, kmax // kt) with the k-blocks fastest.  Each step streams
+    ``kt`` stored tiles in one pipelined DMA (a single 64 KB tile per step
+    measured only ~35 GB/s — the ~2 us fixed grid-step cost dominates; kt
+    tiles amortize it).  x and y live whole in VMEM — they are O(n) next to
+    the tile data — with x rows picked by dynamic slices driven by the
+    scalar-prefetched ``cols`` table (Mosaic rejects sub-(8, 128) blocks,
+    so row-blocking x/y is not an option).  Padding tiles are stored as
+    zeros — correctness does not depend on masking them.
     """
-    k = pl.program_id(1)
-
-    @pl.when(k == 0)
-    def _():
-        y_ref[:] = jnp.zeros_like(y_ref)
-
-    a = blocks_ref[0, 0]  # (bm, bn)
-    xv = x_ref[0]         # (1, bn) -> (bn,)? x_ref block is (1, bn)
-    # MXU truncates f32 inputs to bf16 by default: precision=HIGHEST is
-    # required for f32-accurate products (PERF.md "MXU default input
-    # precision").
-    y_ref[0, :] += jax.lax.dot_general(
-        a, xv, (((1,), (0,)), ((), ())),
+    i = pl.program_id(0)
+    kb = pl.program_id(1)
+    # Gather the kt x-rows, then ONE dot_general contracting over both the
+    # tile axis and bn: sum_k blocks[k] @ xs[k].  (A per-tile dot chain
+    # `acc + dot(...)` fails Mosaic with "only constant accumulators
+    # supported".)  MXU truncates f32 inputs to bf16 by default:
+    # precision=HIGHEST is required for f32-accurate products (PERF.md
+    # "MXU default input precision").
+    xs = jnp.stack([x_ref[cols_ref[i, kb * kt + kk], :] for kk in range(kt)])
+    a = blocks_ref[0]             # (kt, bm, bn) tiles
+    parts = jax.lax.dot_general(  # batched over the tile axis -> (kt, bm)
+        a, xs, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
+    contrib = jnp.sum(parts, axis=0)
+
+    @pl.when(kb == 0)
+    def _():
+        y_ref[i, :] = contrib
+
+    @pl.when(kb != 0)
+    def _():
+        y_ref[i, :] += contrib
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _bell_mv(cols, blocks, xb, *, interpret=False):
-    """cols: (nrb, kmax) int32; blocks: (nrb, kmax, bm, bn) f32;
-    xb: (ncb, bn) f32 -> y: (nrb, bm) f32."""
+    """cols: (nrb, kmax) int32; blocks: (nrb, kmax, bm, bn) f32 with kmax a
+    multiple of the k-block (builder guarantees); xb: (ncb, bn) f32 ->
+    y: (nrb, bm) f32."""
     nrb, kmax, bm, bn = blocks.shape
+    ncb = xb.shape[0]
+    kt = _k_block(kmax)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nrb, kmax),
+        grid=(nrb, kmax // kt),
         in_specs=[
-            pl.BlockSpec((1, 1, bm, bn), lambda i, k, cols: (i, k, 0, 0)),
-            pl.BlockSpec((1, bn), lambda i, k, cols: (cols[i, k], 0)),
+            # i*0 (not literal 0): under jax_enable_x64 a literal promotes
+            # to i64 and Mosaic fails to legalize the index-map function —
+            # same reason x/y get explicit full-shape blocks + maps instead
+            # of relying on pallas-synthesized (i64-constant) maps
+            pl.BlockSpec((1, kt, bm, bn),
+                         lambda i, k, cols: (i, k, i * 0, i * 0)),
+            pl.BlockSpec((ncb, bn), lambda i, k, cols: (i * 0, i * 0)),
         ],
-        out_specs=pl.BlockSpec((1, bm), lambda i, k, cols: (i, 0)),
+        out_specs=pl.BlockSpec((nrb, bm), lambda i, k, cols: (i * 0, i * 0)),
     )
     return pl.pallas_call(
-        _bell_mv_kernel,
+        functools.partial(_bell_mv_kernel, kt=kt),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nrb, bm), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * nrb * kmax * bm * bn,
-            bytes_accessed=nrb * kmax * bm * bn * 4 + nrb * bm * 4,
+            bytes_accessed=nrb * kmax * bm * bn * 4 + (nrb * bm + ncb * bn) * 4,
             transcendentals=0,
         ),
         interpret=interpret,
     )(cols, blocks, xb)
+
+
+def _k_block(kmax: int) -> int:
+    """Tiles streamed per grid step: whole k-range when small, else the
+    largest divisor of kmax that is <= 8 (builder pads kmax to keep this
+    >= 4 when kmax > 8)."""
+    if kmax <= 8:
+        return kmax
+    for kt in (8, 7, 6, 5, 4):
+        if kmax % kt == 0:
+            return kt
+    return 1
 
 
 def _build_ell_arrays(m, n, rows, cols, vals, bm, bn):
@@ -106,6 +139,10 @@ def _build_ell_arrays(m, n, rows, cols, vals, bm, bn):
     # sorted by (ti, tj) from np.unique)
     counts = np.bincount(uti, minlength=nrb)
     kmax = max(int(counts.max()) if counts.size else 0, 1)
+    if kmax > 8:
+        # pad kmax to a multiple of 8 so the kernel streams 8 tiles per
+        # grid step (_k_block); <= 7 extra zero tiles per block-row
+        kmax = ((kmax + 7) // 8) * 8
     row_start = np.zeros(nrb + 1, np.int64)
     np.cumsum(counts, out=row_start[1:])
     slot = np.arange(upair.size) - row_start[uti]

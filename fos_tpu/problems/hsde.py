@@ -297,6 +297,52 @@ class HSDEForm:
         return HSDECheck(status, p, d, g, ctx, bty, tau, kappa)
 
 
+    # --- stall detection / recovery (engine hooks) -----------------------
+    def gap_stalled(self, chk: HSDECheck, eps: float) -> bool:
+        """True when the primal/dual residuals pass but the duality gap
+        does not — the signature of the CG tolerance floor biasing the
+        fixed point (an f32-path failure mode: the default floor follows
+        the reference's 2l*eps formula, which is coarse at eps(f32))."""
+        if int(chk.status) != Status.CONTINUE:
+            return False
+        nb = float(self.norm_b)
+        nc = float(self.norm_c)
+        tau = float(chk.tau)
+        if tau <= 0:
+            return False
+        ctx = float(chk.ctx) / tau
+        bty = float(chk.bty) / tau
+        gden = 1.0 + abs(ctx) + abs(bty)
+        return (float(chk.p) <= eps * (1.0 + nb)
+                and float(chk.d) <= eps * (1.0 + nc)
+                and float(chk.g) > eps * gden)
+
+    def tighten_cg(self):
+        """Return a copy with a ~sqrt(2l)*eps CG floor (None if not
+        applicable): recovers gap-stalled f32 runs — measured: a sparse LP
+        Indeterminate at the default floor reaches Optimal with the same
+        iteration count as the f64 path once tightened (PERF.md)."""
+        s1 = self.sets.s1
+        if getattr(s1, "direct", False):
+            return None
+        import numpy as _np
+
+        eps_dt = float(jnp.finfo(self.dtype).eps)
+        new_floor = float(_np.sqrt(2.0 * self.l)) * eps_dt
+        cur = s1.tol_floor if s1.tol_floor is not None else 2 * self.l * eps_dt
+        if cur <= new_floor:
+            return None
+        s1b = HSDEAffineProjector(
+            s1.A, s1.b, s1.c, s1.fac, direct=s1.direct,
+            decreasing_accuracy=s1.decreasing_accuracy,
+            cg_max_iters=s1.cg_max_iters, tol_floor=new_floor,
+            cg_variant=s1.cg_variant, cg_unroll=s1.cg_unroll,
+            compensated=s1.compensated)
+        return HSDEForm(TwoSets(s1b, self.sets.s2), self.A, self.b, self.c,
+                        self.norm_b, self.norm_c, self.n, self.m,
+                        self.dinv, self.einv, self.K2_spec,
+                        self.strict_certificates, self.compensated)
+
     # --- engine observability hooks (printing + history) ------------------
     def header(self, init_duration_s: float) -> str:
         from fos_tpu.utils import printing

@@ -224,6 +224,11 @@ def run(form, alg, *, initx=None, init_duration: float = 0.0,
     # logextra parity: feasibility-form runs at debug>0 record the S1-stage
     # snapshot triple at every check iteration (FeasibilityStatus.jl:19-25)
     log_extra = debug > 0 and getattr(form, "wants_extra", False)
+    # gap-stall recovery: consecutive checks where p/d pass but the gap
+    # doesn't indicate the CG floor is biasing the fixed point — tighten it
+    # once and continue (HSDEForm.gap_stalled/tighten_cg)
+    stall_count = 0
+    tightened = False
     nchunks, rem = divmod(max_iters, checki)
     for _ in range(nchunks):
         if log_extra:
@@ -234,6 +239,20 @@ def run(form, alg, *, initx=None, init_duration: float = 0.0,
         i += checki
         checked = True
         status_code = int(chk.status)
+        if (not tightened and status_code == Status.CONTINUE
+                and hasattr(form, "gap_stalled")
+                and form.gap_stalled(chk, eps)):
+            stall_count += 1
+            if stall_count >= 3:
+                new_form = form.tighten_cg()
+                tightened = True
+                if new_form is not None:
+                    form = new_form
+                    if verbose > 0:
+                        print(f"Gap stalled at i={i}: tightening CG "
+                              f"tolerance floor")
+        else:
+            stall_count = 0
         t_elapsed = time.time() - t_init
         form.record(hist, st, chk, i, t_elapsed, debug, extra=snaps)
         if verbose > 0:

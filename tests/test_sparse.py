@@ -133,3 +133,22 @@ def test_auto_format_keeps_dense_for_full_tiles():
     prob = conic_problem(A, np.ones(256), np.ones(256), nonneg(256), nonneg(256))
     form = HSDEForm.build(prob, densify=False)
     assert isinstance(form.A, BCOO)  # auto keeps BCOO (f64 data under x64)
+
+
+def test_gap_stall_auto_recovery():
+    # f32 + default CG floor stalls on this LP (p/d pass, gap stuck at
+    # ~0.007 vs optimum ~0.0006); the engine must detect the stall and
+    # tighten the CG floor automatically, reaching Optimal (measured:
+    # Indeterminate without recovery, Optimal at ~15800 iters with it).
+    A = _rand_sparse(120, 200, 0.05, seed=2)
+    rng = np.random.default_rng(0)
+    x0 = np.abs(rng.standard_normal(200))
+    b = A @ x0 + np.abs(rng.standard_normal(120))
+    c = np.abs(rng.standard_normal(200))
+    sol = solve(A, b, c, nonneg(120), nonneg(200), alg=DR(), eps=1e-5,
+                verbose=0, densify=False, sparse_format="bell",
+                max_iters=20000, dtype=jnp.float32)
+    assert sol.status == "Optimal"
+    sol64 = solve(A, b, c, nonneg(120), nonneg(200), alg=DR(), eps=1e-5,
+                  verbose=0, densify=False, max_iters=20000)
+    assert abs(sol.objval - sol64.objval) < 2e-3 * (1 + abs(sol64.objval))
