@@ -119,7 +119,11 @@ def _banded_bell_problem(nrb=256, seed=17):
     kl, kd, ku, kx, ky, ks, kr = jax.random.split(key, 7)
     scale = float(1.0 / np.sqrt(3 * bs))  # Python float: keeps f32 weak-typed
     low = jax.random.normal(kl, (nrb, bs, bs), jnp.float32) * scale
-    diag = jax.random.normal(kd, (nrb, bs, bs), jnp.float32) * scale
+    # diagonally dominant blocks (discretized-operator structure): DR
+    # converges in O(1e3) iterations instead of stalling past 30k on the
+    # fully random variant (measured, CPU probe at 2048^2: Optimal @1200)
+    diag = (jax.random.normal(kd, (nrb, bs, bs), jnp.float32) * scale
+            + 2.0 * jnp.eye(bs, dtype=jnp.float32)[None])
     up = jax.random.normal(ku, (nrb, bs, bs), jnp.float32) * scale
     # edge tiles do not exist: zero their data and alias col 0 (contributes 0)
     low = low.at[0].set(0.0)
