@@ -51,7 +51,11 @@ def build_batched_form(A, b, c, K1: ConeSpec, K2: ConeSpec, *, direct=False,
     s2 = ConeSet(hsde_cone_spec(K1, K2))
     norm_b = jnp.linalg.norm(b, axis=-1)
     norm_c = jnp.linalg.norm(c, axis=-1)
-    return HSDEForm(TwoSets(s1, s2), A, b, c, norm_b, norm_c, n, m)
+    # compensated convergence-check reductions for f32 batches, matching
+    # the single-problem build (problems/hsde.py)
+    comp = jnp.dtype(b.dtype) == jnp.float32
+    return HSDEForm(TwoSets(s1, s2), A, b, c, norm_b, norm_c, n, m,
+                    compensated=comp)
 
 
 @functools.partial(jax.jit, static_argnames=("alg", "max_iters", "eps", "checki",

@@ -126,6 +126,11 @@ class HSDEForm:
 
                 from fos_tpu.problems.scaling import ruiz_equilibrate_sparse
 
+                if not hasattr(A, "indices"):
+                    raise ValueError(
+                        "equilibrate needs COO-style sparse data (BCOO or "
+                        "scipy.sparse); equilibrate BEFORE packing A into a "
+                        "BlockedEllOp")
                 idx = _np.asarray(A.indices)
                 Asp = _sp.coo_matrix(
                     (_np.asarray(A.data), (idx[:, 0], idx[:, 1])), shape=A.shape)

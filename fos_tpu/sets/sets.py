@@ -55,14 +55,16 @@ class AffineSet(_StatelessSet):
         b = jnp.asarray(b)
         P = None
         if direct:
-            from jax.scipy.linalg import cho_factor, cho_solve
-
-            # AA' is SPD: Cholesky (not a generic inverse/solve) keeps the
-            # projector accurate when A is ill-conditioned (HSDE.jl:15 uses
-            # QR for the same robustness reason).
+            # QR of A' (the reference's IndAffine primitive, HSDE.jl:15):
+            # P = A'(AA')^{-1} = Q R^{-T} touches cond(A) once — a
+            # Cholesky/inverse of AA' squares it (measured: 9e-4 error at
+            # cond(A) = 1e7 vs 1e-9 via QR, test_linalg.py).
             Ad = A.todense() if hasattr(A, "todense") else A
-            cf = cho_factor(Ad @ Ad.T)
-            P = cho_solve(cf, Ad).T  # = A'(AA')^{-1}
+            Q, R = jnp.linalg.qr(Ad.T, mode="reduced")  # A' = Q R
+            from jax.scipy.linalg import solve_triangular
+
+            P = Q @ solve_triangular(R.T, jnp.eye(R.shape[0], dtype=Q.dtype),
+                                     lower=True)  # = Q R^{-T}
         return cls(A, b, P, direct=direct, cg_max_iters=cg_max_iters)
 
     def init_state(self, dtype):

@@ -126,3 +126,37 @@ def test_kitchen_sink():
     best = _oracle(c, p0, n)
     assert best is not None
     assert float(c @ x) <= best.fun + 1e-5 * (1 + abs(best.fun))
+
+
+def test_heterogeneous_psd_sdp_e2e(rng):
+    # Four PSD blocks of DIFFERENT sides in one solve exercises the bucketed
+    # projection through the full HSDE stack: find t minimizing such that
+    # C_k - t I >> 0 for all k simultaneously => t* = min_k lambda_min(C_k).
+    import scipy
+
+    sides = [2, 3, 5, 8]
+    Cs = []
+    for i, d in enumerate(sides):
+        B = rng.standard_normal((d, d))
+        Cs.append((B + B.T) / 2)
+    tstar = min(float(np.linalg.eigvalsh(C)[0]) for C in Cs)
+
+    rows = []
+    bvec = []
+    blocks = []
+    for C, d in zip(Cs, sides):
+        sI = np.asarray(svec(jnp.asarray(np.eye(d))))
+        sC = np.asarray(svec(jnp.asarray(C)))
+        rows.append(sI[:, None])
+        bvec.append(sC)
+        blocks.append((Cone.PSD, d * (d + 1) // 2))
+    A = np.vstack(rows)
+    b = np.concatenate(bvec)
+    c = np.asarray([-1.0])  # max t
+    K1 = ConeSpec(tuple(blocks))
+    from fos_tpu.cones import free
+
+    sol = solve(A, b, c, K1, free(1), alg=DR(), eps=1e-8, verbose=0,
+                max_iters=40000)
+    assert sol.status == "Optimal"
+    assert abs(float(sol.x[0]) - tstar) < 1e-6 * (1 + abs(tstar))

@@ -248,3 +248,63 @@ def test_cg_compensated_f32_reaches_tighter_tol(rng):
                                compensated=True)
     true_res = np.linalg.norm(A @ np.asarray(res_c.x, np.float64) - np.asarray(b, np.float64))
     assert true_res < 5e-3 * np.linalg.norm(np.asarray(b))
+
+
+def test_direct_mode_ill_conditioned(rng):
+    # Cholesky-factored direct mode (vs the old explicit inverse) must agree
+    # with the indirect CG path on a badly conditioned A (cond ~ 1e8 ->
+    # I + Q'Q conditioning ~ 1e16-capped; the f64 factor keeps the
+    # projection accurate where an explicit inverse loses half the digits).
+    import jax.numpy as jnp
+    from fos_tpu.linalg.affine import HSDEAffineProjector
+    from fos_tpu.linalg.cg import CGState
+
+    m, n = 30, 40
+    U, _ = np.linalg.qr(rng.standard_normal((m, m)))
+    V, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    svals = np.logspace(0, -8, m)  # cond(A) = 1e8
+    A = U @ np.diag(svals) @ V[:m, :]
+    b = rng.standard_normal(m)
+    c = rng.standard_normal(n)
+
+    pd = HSDEAffineProjector.create(jnp.asarray(A), jnp.asarray(b),
+                                    jnp.asarray(c), direct=True)
+    pi = HSDEAffineProjector.create(jnp.asarray(A), jnp.asarray(b),
+                                    jnp.asarray(c), direct=False,
+                                    decreasing_accuracy=False)
+    z = jnp.asarray(rng.standard_normal(2 * pd.l))
+    yd, _ = pd.project(z, pd.init_cg_state(z.dtype))
+    yi, _ = pi.project(z, pi.init_cg_state(z.dtype))
+    # both land on the affine set {Qu = v} ...
+    from fos_tpu.linalg import hsde_ops
+
+    for y in (yd, yi):
+        u, v = y[: pd.l], y[pd.l:]
+        resid = hsde_ops.q_mul(jnp.asarray(A), jnp.asarray(b), jnp.asarray(c), u) - v
+        assert float(jnp.linalg.norm(resid)) < 1e-8
+    # ... and agree with each other
+    np.testing.assert_allclose(np.asarray(yd), np.asarray(yi), atol=1e-6)
+
+
+def test_affine_set_direct_ill_conditioned(rng):
+    import jax.numpy as jnp
+    from fos_tpu.sets import AffineSet
+
+    m, n = 20, 50
+    U, _ = np.linalg.qr(rng.standard_normal((m, m)))
+    V, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    A = U @ np.diag(np.logspace(0, -7, m)) @ V[:m, :]
+    x_f = rng.standard_normal(n)
+    b = A @ x_f
+    sd = AffineSet.create(A, b, direct=True)
+    si = AffineSet.create(A, b, direct=False)
+    x = jnp.asarray(rng.standard_normal(n))
+    yd, _ = sd.project(x, sd.init_state(x.dtype))
+    yi, _ = si.project(x, si.init_state(x.dtype))
+    # the QR-based direct path stays feasible and matches the pinv truth
+    # at cond(A) = 1e7 (a Cholesky of AA' squares the conditioning and
+    # erred 9e-4 here; QR touches cond(A) once)
+    assert np.abs(A @ np.asarray(yd) - b).max() < 1e-7
+    ystar = np.asarray(x) - np.linalg.pinv(A, rcond=1e-12) @ (A @ np.asarray(x) - b)
+    assert np.linalg.norm(np.asarray(yd) - ystar) < 1e-7
+    np.testing.assert_allclose(np.asarray(yd), np.asarray(yi), atol=1e-6)
