@@ -37,7 +37,13 @@ from fos_tpu.solvers import (  # noqa: F401
     LongstepWrapper,
 )
 from fos_tpu.problems import ConicProblem, Solution, conic_problem  # noqa: F401
-from fos_tpu.interface import solve  # noqa: F401
+from fos_tpu.interface import (  # noqa: F401
+    register_with_cvxpy,
+    solve,
+    solve_conic_data,
+    solve_lp,
+    solve_scs,
+)
 from fos_tpu.interface.api import solve_feasibility  # noqa: F401
 from fos_tpu.problems.feasibility import Feasibility  # noqa: F401
 

@@ -4,3 +4,5 @@ from fos_tpu.linalg.affine import (  # noqa: F401
     AffinePlusLinearProjector,
     HSDEAffineProjector,
 )
+from fos_tpu.linalg.compensated import cdot, cnorm  # noqa: F401
+from fos_tpu.linalg.sparse_ell import BlockedEllOp, bell_storage_ratio  # noqa: F401

@@ -30,7 +30,7 @@ from fos_tpu.solvers.status import Status
 DEFAULT_OPTIONS = dict(max_iters=10000, verbose=1, debug=1, eps=1e-5, checki=100)
 """Reference defaults (solverwrapper.jl:4-9)."""
 
-EXTRA_OPTIONS = frozenset({"check_finite", "profile_dir"})
+EXTRA_OPTIONS = frozenset({"check_finite", "profile_dir", "unroll"})
 """Documented non-reference run options (see :func:`run`)."""
 
 # Options consumed by the form/solve layer before reaching run(); accepted
@@ -53,12 +53,13 @@ def validate_options(options):
             f"valid options: {sorted(allowed)}")
 
 
-@functools.partial(jax.jit, static_argnames=("alg", "nsteps", "eps"))
-def _run_chunk(alg, form, st: SolverState, nsteps: int, eps: float):
+@functools.partial(jax.jit, static_argnames=("alg", "nsteps", "eps", "unroll"))
+def _run_chunk(alg, form, st: SolverState, nsteps: int, eps: float,
+               unroll: int = 1):
     def body(_, st):
         return alg.step(form.sets, st)
 
-    st = jax.lax.fori_loop(0, nsteps, body, st)
+    st = jax.lax.fori_loop(0, nsteps, body, st, unroll=unroll)
     chk = form.check(st.z_check, eps, prev=st.z_check_prev)
     return st, chk
 
@@ -196,6 +197,9 @@ def run(form, alg, *, initx=None, init_duration: float = 0.0,
     debug = int(opts["debug"])
     check_finite = bool(opts.get("check_finite", False))
     profile_dir = opts.get("profile_dir", None)
+    # iterations per compiled loop step: amortizes the ~13 us fixed
+    # device-loop cost on TPU (PERF.md); 1 = reference-equivalent default
+    unroll = int(opts.get("unroll", 1))
 
     if resume_state is not None:
         st = resume_state
@@ -234,7 +238,7 @@ def run(form, alg, *, initx=None, init_duration: float = 0.0,
         if log_extra:
             st, chk, snaps = _run_chunk_logged(alg, form, st, checki, eps)
         else:
-            st, chk = _run_chunk(alg, form, st, checki, eps)
+            st, chk = _run_chunk(alg, form, st, checki, eps, unroll)
             snaps = None
         i += checki
         checked = True

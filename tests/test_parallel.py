@@ -152,16 +152,18 @@ def test_2d_sharded_single_problem(rng):
     prob = conic_problem(jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
                          nonneg(m), nonneg(n))
     form = HSDEForm.build(prob)
+    # eps=1e-5: converges ~2k iterations; virtual-8-device execution is
+    # single-threaded, so tighter settings cost many wall-clock minutes
     res_plain = fused_solve(DR(), form, form.initial_value(form.dtype),
-                            max_iters=8000, eps=1e-6, checki=100)
+                            max_iters=3000, eps=1e-5, checki=100)
 
     mesh = make_mesh((4, 2), ("model_r", "model_c"))
     A2, b2, c2 = shard_problem_2d(jnp.asarray(A), jnp.asarray(b),
                                   jnp.asarray(c), mesh)
     prob2 = conic_problem(A2, b2, c2, nonneg(m), nonneg(n))
     form2 = HSDEForm.build(prob2)
-    fn = jax.jit(lambda f, x0: fused_solve(DR(), f, x0, max_iters=8000,
-                                           eps=1e-6, checki=100))
+    fn = jax.jit(lambda f, x0: fused_solve(DR(), f, x0, max_iters=3000,
+                                           eps=1e-5, checki=100))
     res_sh = fn(form2, form2.initial_value(form2.dtype))
     assert int(res_sh.status) == Status.OPTIMAL
     assert int(res_plain.status) == Status.OPTIMAL
