@@ -46,5 +46,6 @@ from fos_tpu.interface import (  # noqa: F401
 )
 from fos_tpu.interface.api import solve_feasibility  # noqa: F401
 from fos_tpu.problems.feasibility import Feasibility  # noqa: F401
+from fos_tpu.diff import diff_solve  # noqa: F401
 
 __version__ = "0.1.0"

@@ -1,0 +1,183 @@
+"""Differentiable conic solves — implicit differentiation through the
+DR/GAP fixed point.
+
+No reference counterpart (Julia/FirstOrderSolvers.jl has no AD story); this
+is the JAX-native capability that makes the solver usable inside learned
+pipelines (the role diffcp plays for SCS): gradients of any scalar function
+of the solution with respect to the problem data (A, b, c).
+
+Method (standard implicit-function-theorem treatment of an averaged
+operator, cf. jaxopt/diffcp):
+
+* forward: run the ordinary fused solve to the fixed point ``z* = T(z*)``
+  of the one-iteration map T (two relaxed projections);
+* backward: the cotangent of ``z*`` w.r.t. a loss L solves
+  ``(I - (dT/dz)') w = zbar``, computed by the Neumann iteration
+  ``w <- zbar + (dT/dz)' w`` (T is an averaged — hence nonexpansive —
+  operator, so the iteration converges wherever the fixed point is
+  nondegenerate); each application of ``(dT/dz)'`` is one ``jax.vjp`` of a
+  DIFFERENTIABLE re-expression of the step in which the inner SPD solve
+  uses ``jax.scipy.sparse.linalg.cg`` (reverse-differentiable via
+  ``lax.custom_linear_solve``);
+* data gradients: ``(Abar, bbar, cbar) = vjp_theta(T)(w)``.
+
+Supported algorithms: the GAP family with static relaxation coefficients
+(GAP / DR / AP).  The recovered solution ``(x, y, s) = (u_x, u_y, v_s)/tau``
+and any downstream scalar are ordinary differentiable jnp ops of ``z*``.
+
+Sanity oracles used by the tests (LP duality / envelope theorem):
+``d(c'x*)/dc = x*`` and ``d(c'x*)/db = y*`` at a nondegenerate optimum.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fos_tpu.cones.project import project as cone_project
+from fos_tpu.cones.spec import ConeSpec
+from fos_tpu.linalg import hsde_ops
+from fos_tpu.problems.hsde import hsde_cone_spec
+from fos_tpu.solvers.base import GAP
+
+
+def _diff_step(alg: GAP, spec: ConeSpec, psd_method: str, cg_tol: float,
+               cg_maxiter: int):
+    """A reverse-differentiable re-expression of the GAP step: the inner
+    SPD solve goes through jax.scipy CG (implicitly differentiated), the
+    cone projection through the fused projector (piecewise smooth)."""
+    alpha, a1, a2 = alg.alpha, alg.alpha1, alg.alpha2
+
+    def T(z, A, b, c):
+        l = (z.shape[0]) // 2
+        u0, v0 = z[:l], z[l:]
+        rhs = u0 - hsde_ops.q_mul(A, b, c, v0)
+        u, _ = jax.scipy.sparse.linalg.cg(
+            lambda t: hsde_ops.hsde_normal_mul(A, b, c, t), rhs,
+            tol=cg_tol, maxiter=cg_maxiter)
+        y1 = jnp.concatenate([u, hsde_ops.q_mul(A, b, c, u)])
+        tmp1 = a1 * y1 + (1.0 - a1) * z
+        zc = cone_project(spec, tmp1, psd_method)
+        tmp2 = a2 * zc + (1.0 - a2) * tmp1
+        return alpha * tmp2 + (1.0 - alpha) * z
+
+    return T
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fixed_point(A, b, c, alg, static, opts):
+    """Raw DR/GAP fixed point z* of the HSDE iteration (custom VJP)."""
+    return _forward(A, b, c, alg, static, opts)
+
+
+def _forward(A, b, c, alg, static, opts):
+    from fos_tpu.problems.conic import ConicProblem
+    from fos_tpu.problems.hsde import HSDEForm
+    from fos_tpu.solvers.engine import fused_solve
+
+    K1, K2, psd_method = static
+    prob = ConicProblem(A, b, c, K1, K2)
+    form = HSDEForm.build(prob, psd_method=psd_method,
+                          cg_tol_floor=opts.get("cg_tol_floor"),
+                          compensated=False)
+    res = fused_solve(alg, form, form.initial_value(b.dtype),
+                      max_iters=opts.get("max_iters", 10000),
+                      eps=opts.get("eps", 1e-8),
+                      checki=opts.get("checki", 100))
+    return res.state.x
+
+
+def _fixed_point_fwd(A, b, c, alg, static, opts):
+    zstar = _forward(A, b, c, alg, static, opts)
+    return zstar, (A, b, c, zstar)
+
+
+def _fixed_point_bwd(alg, static, opts, residuals, zbar):
+    A, b, c, zstar = residuals
+    K1, K2, psd_method = static
+    spec = hsde_cone_spec(K1, K2)
+    T = _diff_step(alg, spec, psd_method,
+                   opts.get("diff_cg_tol", 1e-10),
+                   opts.get("diff_cg_maxiter", 500))
+
+    # The HSDE step is positively homogeneous (cones and the linear
+    # subspace are scale-invariant), so dT/dz has eigenvalue EXACTLY 1
+    # along the solution ray and the plain Neumann series stalls.  The
+    # solution map (x,y,s) = guess/tau is ray-invariant, so we may
+    # differentiate the ray-NORMALIZED map S(z) = T(z) * ||z*||/||T(z)||
+    # instead: same fixed point, same gradients, ray eigenvalue deflated
+    # to 0 (dS/dz = (I - zhat zhat') dT/dz at z*).
+    nrm_star = jnp.linalg.norm(zstar)
+
+    def S(z, A_, b_, c_):
+        t = T(z, A_, b_, c_)
+        return t * (nrm_star / jnp.linalg.norm(t))
+
+    _, vjp_z = jax.vjp(lambda z: S(z, A, b, c), zstar)
+
+    # GMRES on (I - dS/dz') w = zbar: the spectrum clusters near 1 when DR
+    # converges slowly (rate ~ the solver's own contraction factor), where
+    # a plain Neumann series would need ~1/(1-rho) iterations.
+    def op(w):
+        (Jt_w,) = vjp_z(w)
+        return w - Jt_w
+
+    w, _ = jax.scipy.sparse.linalg.gmres(
+        op, zbar, tol=opts.get("adjoint_tol", 1e-9),
+        restart=opts.get("adjoint_restart", 40),
+        maxiter=opts.get("adjoint_iters", 50),
+        solve_method="batched")
+
+    _, vjp_theta = jax.vjp(lambda A_, b_, c_: S(zstar, A_, b_, c_), A, b, c)
+    Abar, bbar, cbar = vjp_theta(w)
+    return Abar, bbar, cbar
+
+
+_fixed_point.defvjp(_fixed_point_fwd, _fixed_point_bwd)
+
+
+def diff_solve(A, b, c, K1: ConeSpec, K2: ConeSpec, alg: GAP = None,
+               psd_method: str = "eigh", **opts) -> Tuple[jnp.ndarray, ...]:
+    """Differentiable solve: returns ``(x, y, s)`` as functions of
+    ``(A, b, c)`` suitable for ``jax.grad`` / ``jax.jacrev``.
+
+    Restrictions: GAP-family algorithms with static coefficients (GAP / DR
+    / AP — GAPA's adaptive relaxation has state the implicit theorem does
+    not cover), dense A, and a solve that actually reaches its fixed point
+    (gradients of an unconverged iterate are not meaningful).
+    """
+    alg = alg if alg is not None else GAP(0.5, 2.0, 2.0)  # DR
+    if not isinstance(alg, GAP):
+        raise ValueError("diff_solve supports the static-coefficient GAP "
+                         "family (GAP/DR/AP)")
+    static = (K1, K2, psd_method)
+    zstar = _fixed_point(A, b, c, alg, static, _HashableOpts(opts))
+    # solution recovery (differentiable): one more projection pass then /tau
+    spec = hsde_cone_spec(K1, K2)
+    l = K1.dim + K2.dim + 1
+    n = K2.dim
+
+    def proj_affine(z):
+        u0, v0 = z[:l], z[l:]
+        rhs = u0 - hsde_ops.q_mul(A, b, c, v0)
+        u, _ = jax.scipy.sparse.linalg.cg(
+            lambda t: hsde_ops.hsde_normal_mul(A, b, c, t), rhs,
+            tol=1e-10, maxiter=500)
+        return jnp.concatenate([u, hsde_ops.q_mul(A, b, c, u)])
+
+    guess = cone_project(spec, proj_affine(zstar), psd_method)
+    tau = guess[l - 1]
+    x = guess[:n] / tau
+    y = guess[n : l - 1] / tau
+    s = guess[l + n : 2 * l - 1] / tau
+    return x, y, s
+
+
+class _HashableOpts(dict):
+    """opts travel through custom_vjp nondiff args: must be hashable."""
+
+    def __hash__(self):
+        return hash(tuple(sorted(self.items())))

@@ -1,0 +1,99 @@
+"""Differentiable-solve tests (fos_tpu/diff.py).
+
+Oracles: LP duality / the envelope theorem at a nondegenerate optimum —
+``d(c'x*)/dc = x*`` and ``d(c'x*)/db = y*`` — plus central finite
+differences on a perturbed-data loss.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fos_tpu.cones import nonneg
+from fos_tpu.diff import diff_solve
+from fos_tpu.solvers.base import DR
+
+
+def _lp(rng, m=12, n=18, kx=6, ky=6):
+    """LP with a UNIQUE nondegenerate primal-dual vertex pair (kx == ky:
+    the k x k basis block makes both x* and y* unique; strict
+    complementarity throughout) — uniqueness is required for solution
+    gradients to be well-defined."""
+    A = rng.standard_normal((m, n))
+    xmask = np.zeros(n, bool)
+    xmask[rng.choice(n, kx, replace=False)] = True
+    ymask = np.zeros(m, bool)
+    ymask[rng.choice(m, ky, replace=False)] = True
+    x0 = (np.abs(rng.standard_normal(n)) + 0.1) * xmask
+    r0 = (np.abs(rng.standard_normal(n)) + 0.1) * (~xmask)
+    y0 = (np.abs(rng.standard_normal(m)) + 0.1) * ymask
+    s0 = (np.abs(rng.standard_normal(m)) + 0.1) * (~ymask)
+    b = A @ x0 + s0
+    c = r0 - A.T @ y0
+    return (jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
+            np.asarray(x0), np.asarray(y0))
+
+
+def test_envelope_theorem_grads(rng):
+    A, b, c, x0, y0 = _lp(rng)
+    m, n = A.shape
+    K1, K2 = nonneg(m), nonneg(n)
+
+    def objval(A, b, c):
+        x, y, s = diff_solve(A, b, c, K1, K2, alg=DR(), eps=1e-10,
+                             max_iters=40000)
+        return jnp.vdot(c, x)
+
+    gA, gb, gc = jax.grad(objval, argnums=(0, 1, 2))(A, b, c)
+    x, y, s = diff_solve(A, b, c, K1, K2, alg=DR(), eps=1e-10,
+                         max_iters=40000)
+    # strict complementarity holds by construction -> the optimum is
+    # nondegenerate and the envelope theorem applies:
+    #   d(c'x*)/dc = x*        (direct + zero indirect term)
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(x), atol=5e-5)
+    #   d(c'x*)/db = -(-y*) = y* in this sign convention:
+    #   L = c'x + y'(Ax + s - b) at the saddle -> dL/db = -y... the HSDE
+    #   dual y here satisfies obj = c'x = -b'y, d(c'x)/db = -y
+    np.testing.assert_allclose(np.asarray(gb), -np.asarray(y), atol=5e-5)
+    #   d(c'x*)/dA = +y x' (envelope: dL/dA_jk = y_j x_k; FD-verified)
+    np.testing.assert_allclose(np.asarray(gA),
+                               np.outer(np.asarray(y), np.asarray(x)),
+                               atol=5e-5)
+
+
+def test_finite_difference_check(rng):
+    # Perturb b: x*(b) is smooth at a nondegenerate vertex (x*(c) is
+    # piecewise CONSTANT for an LP, so a c-space FD of a solution loss
+    # would only measure solver noise).
+    A, b, c, _, _ = _lp(rng)  # the default instance converges to Optimal
+    m, n = A.shape
+    K1, K2 = nonneg(m), nonneg(n)
+    v = jnp.asarray(rng.standard_normal(m))  # fixed direction in b-space
+
+    def loss(b_):
+        x, _, _ = diff_solve(A, b_, c, K1, K2, alg=DR(), eps=1e-10,
+                             max_iters=40000)
+        return jnp.sum(x**2)
+
+    g = jax.grad(loss)(b)
+    eps = 1e-5
+    f_p = float(loss(b + eps * v))
+    f_m = float(loss(b - eps * v))
+    fd = (f_p - f_m) / (2 * eps)
+    an = float(jnp.vdot(g, v))
+    assert abs(fd - an) < 1e-3 * (1 + abs(fd))
+
+
+def test_diff_solve_solution_matches_solve(rng):
+    from fos_tpu import solve
+
+    A, b, c, _, _ = _lp(rng, m=10, n=15)
+    m, n = A.shape
+    x, y, s = diff_solve(A, b, c, nonneg(m), nonneg(n), alg=DR(), eps=1e-9,
+                         max_iters=40000)
+    sol = solve(A, b, c, nonneg(m), nonneg(n), alg=DR(), eps=1e-9,
+                verbose=0, max_iters=40000)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(sol.x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(sol.y), atol=1e-6)
