@@ -97,3 +97,28 @@ def test_diff_solve_solution_matches_solve(rng):
                 verbose=0, max_iters=40000)
     np.testing.assert_allclose(np.asarray(x), np.asarray(sol.x), atol=1e-6)
     np.testing.assert_allclose(np.asarray(y), np.asarray(sol.y), atol=1e-6)
+
+
+def test_socp_gradient_fd(rng):
+    # SOC problem: min c'x s.t. ||x - a|| <= r, gradients w.r.t. the center
+    # a enter through b; closed form: x* = a - r c/||c||, so
+    # d(c'x*)/da = c  (and d/dr = -||c||).
+    from fos_tpu.cones import ConeSpec
+    from fos_tpu.cones.spec import Cone
+
+    n = 6
+    a = jnp.asarray(np.abs(rng.standard_normal(n)) + 0.5)
+    r = 1.0
+    c = jnp.asarray(rng.standard_normal(n))
+    A = jnp.concatenate([jnp.zeros((1, n)), jnp.eye(n)], axis=0)
+    K1 = ConeSpec(((Cone.SOC, n + 1),))
+    K2 = ConeSpec(((Cone.FREE, n),))
+
+    def objective(a_):
+        b = jnp.concatenate([jnp.asarray([r]), a_])
+        x, y, s = diff_solve(A, b, c, K1, K2, alg=DR(), eps=1e-10,
+                             max_iters=40000)
+        return jnp.vdot(c, x)
+
+    g = jax.grad(objective)(a)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(c), atol=1e-6)
