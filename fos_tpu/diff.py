@@ -118,18 +118,27 @@ def _fixed_point_bwd(alg, static, opts, residuals, zbar):
 
     _, vjp_z = jax.vjp(lambda z: S(z, A, b, c), zstar)
 
-    # GMRES on (I - dS/dz') w = zbar: the spectrum clusters near 1 when DR
-    # converges slowly (rate ~ the solver's own contraction factor), where
-    # a plain Neumann series would need ~1/(1-rho) iterations.
-    def op(w):
+    # Adjoint system (I - dS/dz') w = zbar solved in the LEAST-SQUARES
+    # sense by CG on the normal equations (CGLS): even after ray deflation
+    # the DR Jacobian can be singular along fixed-point-set directions the
+    # solution map is insensitive to — least squares projects those out
+    # (GMRES NaN'd / stalled on such instances; CGLS converges in ~10
+    # iterations, measured).
+    def op_t(w):  # (I - J') w
         (Jt_w,) = vjp_z(w)
         return w - Jt_w
 
-    w, _ = jax.scipy.sparse.linalg.gmres(
-        op, zbar, tol=opts.get("adjoint_tol", 1e-9),
-        restart=opts.get("adjoint_restart", 40),
-        maxiter=opts.get("adjoint_iters", 50),
-        solve_method="batched")
+    def op_f(w):  # (I - J) w
+        _, Jw = jax.jvp(lambda z: S(z, A, b, c), (zstar,), (w,))
+        return w - Jw
+
+    from fos_tpu.linalg.cg import conjugate_gradient
+
+    res = conjugate_gradient(
+        lambda w: op_f(op_t(w)), op_f(zbar), jnp.zeros_like(zbar),
+        tol=opts.get("adjoint_tol", 1e-10),
+        max_iters=opts.get("adjoint_iters", 1000))
+    w = res.x
 
     _, vjp_theta = jax.vjp(lambda A_, b_, c_: S(zstar, A_, b_, c_), A, b, c)
     Abar, bbar, cbar = vjp_theta(w)
