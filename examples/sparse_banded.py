@@ -24,7 +24,12 @@ from fos_tpu import DR, solve
 from fos_tpu.cones import nonneg
 
 
-def main(m=4096, half_band=40, seed=3):
+def main(m=None, half_band=40, seed=3):
+    import jax
+
+    if m is None:
+        # interpret-mode Pallas (off-TPU) is slow: shrink the demo there
+        m = 4096 if jax.default_backend() != "cpu" else 1024
     rng = np.random.default_rng(seed)
     offs = list(range(-half_band, half_band + 1))
     A = sp.diags(
