@@ -92,7 +92,8 @@ def solve(A=None, b=None, c=None, K1: ConeSpec = None, K2: ConeSpec = None,
     if refine > 0 and res.status in (engine.Status.CONTINUE, engine.Status.OPTIMAL):
         return _refine_solution(raw_inputs, problem, alg, form, res, refine,
                                 refine_kwargs, opts)
-    return populate_solution(form, res.guess, res.status, res.iters, res.history)
+    return populate_solution(form, res.guess, res.status, res.iters, res.history,
+                             raw_z=res.state.x)
 
 
 def _refine_solution(raw_inputs, problem, alg, form, res, refine, refine_kwargs,
@@ -137,5 +138,6 @@ def _refine_solution(raw_inputs, problem, alg, form, res, refine, refine_kwargs,
     initx = jnp.asarray(res.state.x, jnp.float64)
     res64 = engine.run(form64, alg, initx=initx, **run_opts)
     sol = populate_solution(form64, res64.guess, res64.status,
-                            res.iters + res64.iters, res64.history)
+                            res.iters + res64.iters, res64.history,
+                            raw_z=res64.state.x)
     return sol

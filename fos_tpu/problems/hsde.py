@@ -393,7 +393,12 @@ class HSDEForm:
 
 
 class Solution(NamedTuple):
-    """Recovered conic solution (types.jl:6-11)."""
+    """Recovered conic solution (types.jl:6-11).
+
+    ``raw_z`` is the final HSDE iterate: pass it as ``initx`` to warm-start
+    a subsequent solve of the same/nearby problem (the reference's ``initx``
+    option, solverwrapper.jl:10, composed across solves).
+    """
 
     x: jnp.ndarray
     y: jnp.ndarray
@@ -402,6 +407,7 @@ class Solution(NamedTuple):
     objval: float
     iters: int
     history: object = None
+    raw_z: jnp.ndarray = None
 
     @property
     def optimal(self) -> bool:
@@ -409,7 +415,7 @@ class Solution(NamedTuple):
 
 
 def populate_solution(form: HSDEForm, guess, status_code: int, iters: int,
-                      history=None) -> Solution:
+                      history=None, raw_z=None) -> Solution:
     """(x, y, s) = (u_x, u_y, v_s) / tau; :Continue -> :Indeterminate
     (HSDE.jl:49-61)."""
     x, y, tau, r, s, kappa = form.split(guess)
@@ -431,5 +437,5 @@ def populate_solution(form: HSDEForm, guess, status_code: int, iters: int,
         ss = ss * form.dinv       # s = D^{-1} sh
     return Solution(
         x=xs, y=ys, s=ss, status=status,
-        objval=objval, iters=iters, history=history,
+        objval=objval, iters=iters, history=history, raw_z=raw_z,
     )

@@ -87,3 +87,28 @@ def test_dtype_option(rng):
                 eps=1e-4, max_iters=10000, verbose=0)
     assert sol.x.dtype == jnp.float32
     assert sol.status == "Optimal"
+
+
+def test_warm_start_across_solves(rng):
+    # Solution.raw_z seeds a perturbed re-solve (parametric sweeps): the
+    # warm-started run must converge in strictly fewer iterations.
+    import jax.numpy as jnp
+    from fos_tpu import DR, solve
+    from fos_tpu.cones import nonneg
+
+    m, n = 30, 45
+    A = rng.standard_normal((m, n))
+    x0 = np.abs(rng.standard_normal(n))
+    b = A @ x0 + np.abs(rng.standard_normal(m))
+    c = np.abs(rng.standard_normal(n))
+    sol1 = solve(A, b, c, nonneg(m), nonneg(n), alg=DR(), eps=1e-8, verbose=0,
+                 max_iters=60000)
+    assert sol1.status == "Optimal" and sol1.raw_z is not None
+    b2 = b * (1 + 1e-3)
+    cold = solve(A, b2, c, nonneg(m), nonneg(n), alg=DR(), eps=1e-8, verbose=0,
+                 max_iters=60000)
+    warm = solve(A, b2, c, nonneg(m), nonneg(n), alg=DR(), eps=1e-8, verbose=0,
+                 max_iters=60000, initx=sol1.raw_z)
+    assert warm.status == "Optimal"
+    assert warm.iters < cold.iters
+    assert abs(warm.objval - cold.objval) < 1e-5 * (1 + abs(cold.objval))
