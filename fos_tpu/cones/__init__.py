@@ -7,6 +7,8 @@ from fos_tpu.cones.spec import (  # noqa: F401
     free,
     nonneg,
     nonpos,
+    pow_dual,
+    pow_primal,
     psd,
     rotated_soc,
     soc,

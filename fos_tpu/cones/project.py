@@ -34,11 +34,13 @@ import jax.numpy as jnp
 
 from fos_tpu.cones.spec import Cone, ConeSpec, psd_side_from_len
 from fos_tpu.cones import exp as exp_cone
+from fos_tpu.cones import pow as pow_cone
 
 _SQRT2 = float(np.sqrt(2.0))  # Python float: weak-typed so f32 inputs stay f32
 
 
-def _build_plan(blocks: Tuple[Tuple[Cone, int], ...]):
+def _build_plan(blocks: Tuple[Tuple[Cone, int], ...],
+                params: Tuple[Tuple[float, ...], ...] = ()):
     """Precompute (as numpy constants) the index arrays for the fused pass."""
     dim = sum(d for _, d in blocks)
     lo = np.full(dim, -np.inf)
@@ -51,10 +53,14 @@ def _build_plan(blocks: Tuple[Tuple[Cone, int], ...]):
     psd_groups = {}    # side -> list of block start offsets
     exp_idx = []       # starts of primal exp 3-blocks
     exp_dual_idx = []  # starts of dual exp 3-blocks
+    pow_idx = []       # (start, alpha) of primal power 3-blocks
+    pow_dual_idx = []  # (start, alpha) of dual power 3-blocks
 
+    if params == ():
+        params = tuple(() for _ in blocks)
     off = 0
     seg = 0
-    for cone, d in blocks:
+    for (cone, d), par in zip(blocks, params):
         sl = np.arange(off, off + d)
         if cone is Cone.FREE:
             pass
@@ -81,6 +87,10 @@ def _build_plan(blocks: Tuple[Tuple[Cone, int], ...]):
             exp_idx.extend(range(off, off + d, 3))
         elif cone is Cone.EXP_DUAL:
             exp_dual_idx.extend(range(off, off + d, 3))
+        elif cone is Cone.POW_PRIMAL:
+            pow_idx.extend(zip(range(off, off + d, 3), par))
+        elif cone is Cone.POW_DUAL:
+            pow_dual_idx.extend(zip(range(off, off + d, 3), par))
         else:  # pragma: no cover
             raise NotImplementedError(cone)
         off += d
@@ -89,11 +99,14 @@ def _build_plan(blocks: Tuple[Tuple[Cone, int], ...]):
         "dim": dim,
         "lo": lo,
         "hi": hi,
-        "elementwise_only": not (soc_idx or psd_groups or exp_idx or exp_dual_idx),
+        "elementwise_only": not (soc_idx or psd_groups or exp_idx
+                                 or exp_dual_idx or pow_idx or pow_dual_idx),
         "soc": None,
         "psd": [],
         "exp": None,
         "exp_dual": None,
+        "pow": None,
+        "pow_dual": None,
     }
     if soc_idx:
         plan["soc"] = {
@@ -164,6 +177,13 @@ def _build_plan(blocks: Tuple[Tuple[Cone, int], ...]):
     if exp_dual_idx:
         starts = np.array(exp_dual_idx)
         plan["exp_dual"] = starts[:, None] + np.arange(3)[None, :]
+    for key, entries in (("pow", pow_idx), ("pow_dual", pow_dual_idx)):
+        if entries:
+            starts = np.array([s for s, _ in entries])
+            plan[key] = {
+                "idx": starts[:, None] + np.arange(3)[None, :],  # (k, 3)
+                "alpha": np.array([a for _, a in entries]),      # (k,)
+            }
     return plan
 
 
@@ -193,14 +213,16 @@ def _soc_project_flat(vals, seg, head, nseg):
 
 
 def make_projector(blocks: Tuple[Tuple[Cone, int], ...],
-                   psd_method: str = "eigh") -> Callable:
+                   psd_method: str = "eigh",
+                   params: Tuple[Tuple[float, ...], ...] = ()) -> Callable:
     """Compile a fused projection function for a product of cones.
 
     ``psd_method``: "eigh" (default) or "poly" — the factorization-free
     matmul-only Newton-Schulz filter (cones/psd_poly.py), the MXU-native
-    fast path for large/batched PSD blocks.
+    fast path for large/batched PSD blocks.  ``params`` carries per-block
+    cone parameters (POW exponents), aligned as in :class:`ConeSpec`.
     """
-    plan = _build_plan(tuple(blocks))
+    plan = _build_plan(tuple(blocks), tuple(params))
     lo = plan["lo"]
     hi = plan["hi"]
     finite_lo = np.isfinite(lo).any() or np.isfinite(hi).any()
@@ -246,6 +268,13 @@ def make_projector(blocks: Tuple[Tuple[Cone, int], ...],
             v = x[..., plan["exp_dual"]]
             out = _apply_exp(v, exp_cone.project_exp_dual_single)
             y = y.at[..., plan["exp_dual"]].set(out)
+        for key, single_fn in (("pow", pow_cone.project_pow_single),
+                               ("pow_dual", pow_cone.project_pow_dual_single)):
+            if plan[key] is not None:
+                v = x[..., plan[key]["idx"]]  # (..., k, 3)
+                alpha = jnp.asarray(plan[key]["alpha"], dtype=x.dtype)
+                out = _apply_pow(v, alpha, single_fn)
+                y = y.at[..., plan[key]["idx"]].set(out)
         return y
 
     return project_fn
@@ -257,6 +286,15 @@ def _apply_exp(v, single_fn):
     for _ in range(v.ndim - 1):
         fn = jax.vmap(fn)
     return fn(v)
+
+
+def _apply_pow(v, alpha, single_fn):
+    """vmap a power projection over the block axis (alpha paired per block)
+    and over any leading batch axes (alpha broadcast)."""
+    fn = jax.vmap(single_fn, in_axes=(0, 0))
+    for _ in range(v.ndim - 2):
+        fn = jax.vmap(fn, in_axes=(0, None))
+    return fn(v, alpha)
 
 
 @functools.lru_cache(maxsize=None)
@@ -315,8 +353,8 @@ def _psd_project_group(x, y, grp, psd_method: str = "eigh"):
 
 
 @functools.lru_cache(maxsize=None)
-def _projector_for(blocks, psd_method="eigh"):
-    return make_projector(blocks, psd_method)
+def _projector_for(blocks, psd_method="eigh", params=()):
+    return make_projector(blocks, psd_method, params)
 
 
 def resolve_psd_method(psd_method: str) -> str:
@@ -335,7 +373,8 @@ def resolve_psd_method(psd_method: str) -> str:
 
 def project(spec: ConeSpec, x, psd_method: str = "auto"):
     """Project ``x`` onto the cone product described by ``spec``."""
-    return _projector_for(spec.blocks, resolve_psd_method(psd_method))(x)
+    return _projector_for(spec.blocks, resolve_psd_method(psd_method),
+                          spec.params)(x)
 
 
 def project_dual(spec: ConeSpec, x, psd_method: str = "auto"):
@@ -345,7 +384,9 @@ def project_dual(spec: ConeSpec, x, psd_method: str = "auto"):
     closed-form shortcuts (src/cones.jl:80-102); here duality is resolved at
     the spec level instead.
     """
-    return _projector_for(spec.dual().blocks, resolve_psd_method(psd_method))(x)
+    dual = spec.dual()
+    return _projector_for(dual.blocks, resolve_psd_method(psd_method),
+                          dual.params)(x)
 
 
 def svec(X, scaled: bool = True):

@@ -88,20 +88,31 @@ def load_problem(c, A, b, constr_cones, var_cones):
 def solve_scs(data: dict, cone: dict, alg=None, **options):
     """SCS-convention front end: ``data = {"A": ..., "b": ..., "c": ...}``,
     ``cone = {"z": n_zero, "l": n_nonneg, "q": [soc sizes], "s": [psd sides],
-    "ep": n_exp_primal, "ed": n_exp_dual}`` with all variables free
-    (SCS's convention — cone structure lives in the slack s).
+    "ep": n_exp_primal, "ed": n_exp_dual, "p": [pow exponents]}`` with all
+    variables free (SCS's convention — cone structure lives in the slack s).
+    Power-cone exponents follow SCS: ``a > 0`` is a primal 3D power cone
+    with exponent ``a``; ``a < 0`` is the dual power cone with ``|a|``.
 
     This is the practical replacement for the reference's Convex.jl entry
     point: any modeling layer that can target SCS can target this.
     """
     from fos_tpu.cones import free
-    from fos_tpu.cones.spec import ConeSpec, Cone
     from fos_tpu.interface.api import solve
 
     A = data["A"]
     b = data["b"]
     c = data["c"]
     m = A.shape[0]
+    K1 = scs_cone_spec(cone)
+    if K1.dim != m:
+        raise ValueError(f"cone dims cover {K1.dim} rows, A has {m}")
+    K2 = free(A.shape[1])
+    return solve(A, b, c, K1, K2, alg=alg, **options)
+
+
+def scs_cone_spec(cone: dict) -> ConeSpec:
+    """Build the constraint ConeSpec from an SCS-style cone dict
+    (row order: z, l, q, s, ep, ed, p — SCS's convention)."""
     blocks = []
     if cone.get("z"):
         blocks.append((Cone.ZERO, int(cone["z"])))
@@ -115,11 +126,21 @@ def solve_scs(data: dict, cone: dict, alg=None, **options):
         blocks.append((Cone.EXP_PRIMAL, 3 * int(cone["ep"])))
     if cone.get("ed"):
         blocks.append((Cone.EXP_DUAL, 3 * int(cone["ed"])))
-    K1 = ConeSpec(tuple(blocks))
-    if K1.dim != m:
-        raise ValueError(f"cone dims cover {K1.dim} rows, A has {m}")
-    K2 = free(A.shape[1])
-    return solve(A, b, c, K1, K2, alg=alg, **options)
+    params = tuple(() for _ in blocks)
+    for a in cone.get("p", []) or []:
+        a = float(a)
+        if not 0.0 < abs(a) < 1.0:
+            raise ValueError(f"power-cone exponent must have 0<|a|<1, got {a}")
+        kind = Cone.POW_PRIMAL if a > 0 else Cone.POW_DUAL
+        if blocks and blocks[-1][0] is kind:  # extend the run
+            blocks[-1] = (kind, blocks[-1][1] + 3)
+            params = params[:-1] + (params[-1] + (abs(a),),)
+        else:
+            blocks.append((kind, 3))
+            params = params + ((abs(a),),)
+    if any(params):
+        return ConeSpec(tuple(blocks), params)
+    return ConeSpec(tuple(blocks))
 
 
 def solve_lp(c, A_ub=None, b_ub=None, A_eq=None, b_eq=None, *,

@@ -51,6 +51,7 @@ def _dims_to_cone_dict(dims: Any) -> Dict:
             "s": list(dims.get("s", []) or []),
             "ep": dims.get("ep", 0),
             "ed": dims.get("ed", 0),
+            "p": list(dims.get("p", []) or []),
         }
     # cvxpy.reductions.solvers.conic_solvers ConeDims object
     return {
@@ -60,6 +61,7 @@ def _dims_to_cone_dict(dims: Any) -> Dict:
         "s": list(getattr(dims, "psd", []) or []),
         "ep": getattr(dims, "exp", 0),
         "ed": 0,
+        "p": list(getattr(dims, "p3d", []) or []),
     }
 
 
