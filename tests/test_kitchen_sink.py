@@ -1,15 +1,16 @@
 """Kitchen-sink solve: every cone type in one problem.
 
 Stresses the fused projector composition (elementwise + SOC + rotated SOC +
-PSD + exp) through a full HSDE solve, validated against SLSQP.
+PSD + exp + power) through a full HSDE solve, validated against SLSQP.
 
-Problem: min c'x over x in R^5 subject to
+Problem: min c'x - 0.2 v over x in R^5 subject to
   sum(x) = 1                       (Zero row)
   x <= 2 elementwise               (NonNeg rows)
   ||x - p0|| <= 1.5                (SOC rows)
   ||x||^2 <= 2 t q with t = q = 1  (rotated SOC rows + Zero rows)
   X = x1 I + M(x) is PSD (2x2)     (PSD rows, affine in x)
   (x5, 1, u) in Kexp, u <= 3       (exp rows: u >= e^{x5})
+  (x1+2, x2+2, v) in Pow(0.4)      (power rows: v <= (x1+2)^.4 (x2+2)^.6)
 """
 
 import numpy as np
@@ -31,15 +32,17 @@ def build_problem():
     rows = []
     bs = []
     blocks = []
+    params = []
 
-    def add(Arows, brows, cone, dim):
+    def add(Arows, brows, cone, dim, par=()):
         rows.append(np.atleast_2d(Arows))
         bs.append(np.atleast_1d(brows))
         blocks.append((cone, dim))
+        params.append(par)
 
-    # variables: (x[5], t, q, u)  -> nv = 8
-    nv = n + 3
-    it, iq, iu = n, n + 1, n + 2
+    # variables: (x[5], t, q, u, v)  -> nv = 9
+    nv = n + 4
+    it, iq, iu, iv = n, n + 1, n + 2, n + 3
 
     # sum(x) = 1
     r = np.zeros((1, nv)); r[0, :n] = 1.0
@@ -73,21 +76,26 @@ def build_problem():
     r[0, 4] = -1.0
     r[2, iu] = -1.0
     add(r, np.array([0.0, 1.0, 0.0]), Cone.EXP_PRIMAL, 3)
+    # power: (x1+2, x2+2, v) in Pow(0.4)  => v <= (x1+2)^0.4 (x2+2)^0.6
+    # (x1+2, x2+2 > 0 is implied by ||x||^2 <= 2); objective pushes v up.
+    r = np.zeros((3, nv))
+    r[0, 0] = -1.0
+    r[1, 1] = -1.0
+    r[2, iv] = -1.0
+    add(r, np.array([2.0, 2.0, 0.0]), Cone.POW_PRIMAL, 3, (0.4,))
 
     A = np.vstack(rows)
     b = np.concatenate(bs)
-    K1 = ConeSpec(tuple(blocks))
+    K1 = ConeSpec(tuple(blocks), tuple(params))
     K2 = ConeSpec(((Cone.FREE, nv),))
     cc = np.zeros(nv)
     cc[:n] = c
+    cc[iv] = -0.2
     return A, b, cc, K1, K2, c, p0, n
 
 
 def _oracle(c, p0, n):
     from scipy.optimize import minimize
-
-    def with_aux(x):
-        return x[:n]
 
     cons = [
         {"type": "eq", "fun": lambda w: w.sum() - 1.0},
@@ -98,10 +106,16 @@ def _oracle(c, p0, n):
             np.array([[1 + w[0], w[1]], [w[1], 1 + w[2]]])).min()},
         {"type": "ineq", "fun": lambda w: 3.0 - np.exp(w[4])},
     ]
+
+    # v is free up to its power-cone bound and carries weight -0.2, so it
+    # sits AT the bound: fold it into the objective.
+    def obj(w):
+        return c @ w - 0.2 * (w[0] + 2.0) ** 0.4 * (w[1] + 2.0) ** 0.6
+
     best = None
     for seed in range(5):
         x0 = np.random.default_rng(seed).standard_normal(n) * 0.1
-        res = minimize(lambda w: c @ w, x0, constraints=cons, method="SLSQP",
+        res = minimize(obj, x0, constraints=cons, method="SLSQP",
                        options={"maxiter": 2000, "ftol": 1e-14})
         if res.success and (best is None or res.fun < best.fun):
             best = res
@@ -122,10 +136,12 @@ def test_kitchen_sink():
     assert np.linalg.eigvalsh(X).min() >= -1e-6
     u = float(sol.x[n + 2])
     assert u >= np.exp(x[4]) - 1e-5 and u <= 3.0 + 1e-6
-    # optimality vs SLSQP
+    v = float(sol.x[n + 3])
+    assert v <= (x[0] + 2.0) ** 0.4 * (x[1] + 2.0) ** 0.6 + 1e-5
+    # optimality vs SLSQP (objective includes the -0.2 v term)
     best = _oracle(c, p0, n)
     assert best is not None
-    assert float(c @ x) <= best.fun + 1e-5 * (1 + abs(best.fun))
+    assert float(c @ x) - 0.2 * v <= best.fun + 1e-5 * (1 + abs(best.fun))
 
 
 def test_heterogeneous_psd_sdp_e2e(rng):
