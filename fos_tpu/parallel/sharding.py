@@ -35,6 +35,30 @@ def make_mesh(shape: Sequence[int] = None, names: Sequence[str] = ("batch", "mod
     return Mesh(mesh_devices, names)
 
 
+def make_hybrid_mesh(outer: int, inner: int,
+                     names: Sequence[str] = ("batch", "model")) -> Mesh:
+    """Hierarchical mesh for multi-host topologies: the ``outer`` axis is
+    meant to ride DCN (one group per host/slice — put the data-parallel
+    batch axis there, it only communicates at termination voting), the
+    ``inner`` axis to ride ICI (model/row sharding — it carries the psum
+    per CG dot).  On a real multi-host runtime the assignment uses
+    ``mesh_utils.create_hybrid_device_mesh`` so inner-axis neighbours share
+    a host; on one host (or the virtual CPU mesh) it reduces to a reshape,
+    which keeps the layout semantics testable anywhere.
+    """
+    devices = jax.devices()
+    if outer * inner != len(devices):
+        raise ValueError(f"mesh {outer}x{inner} != {len(devices)} devices")
+    if jax.process_count() > 1:
+        from jax.experimental import mesh_utils
+
+        mesh_devices = mesh_utils.create_hybrid_device_mesh(
+            (inner,), (outer,), devices=devices)
+        # hybrid util returns (dcn, ici)-ordered axes already
+        return Mesh(mesh_devices.reshape(outer, inner), names)
+    return Mesh(np.asarray(devices).reshape(outer, inner), names)
+
+
 def shard_batched_form(form, mesh: Mesh, axis: str = "batch"):
     """Place a batched HSDEForm so the instance axis is split over ``axis``."""
     def put(x):
@@ -70,6 +94,37 @@ def shard_problem_rows(form, mesh: Mesh, axis: str = "model"):
             "shard_problem_rows dispatches on leaf shapes and requires "
             "m != n (square problems would mis-shard c); pad A with a "
             "redundant row or use shard_problem_2d")
+    return jax.tree_util.tree_map(put, form)
+
+
+def shard_batched_form_rows(form, mesh: Mesh, batch_axis: str = "batch",
+                            model_axis: str = "model"):
+    """Combined data x model parallelism for a batched HSDEForm: instances
+    split over ``batch_axis`` (DCN-friendly: no per-iteration traffic) AND
+    each instance's A row-sharded over ``model_axis`` (ICI: psum per CG
+    dot).  This is the two-level layout for a pod — e.g. a (hosts, 4) mesh
+    from :func:`make_hybrid_mesh`.
+
+    Layouts: A (B,m,n): P(batch, model, None); b (B,m): P(batch, model);
+    c (B,n) and everything else (B, ...): P(batch, None, ...).
+    """
+    if form.m == form.n:
+        raise ValueError(
+            "shard_batched_form_rows dispatches on leaf shapes and requires "
+            "m != n (square problems would mis-shard c)")
+    s_A = NamedSharding(mesh, P(batch_axis, model_axis, None))
+    s_b = NamedSharding(mesh, P(batch_axis, model_axis))
+
+    def put(x):
+        if x is None or not hasattr(x, "ndim") or x.ndim == 0:
+            return x
+        if x.ndim == 3 and x.shape[1] == form.m:
+            return jax.device_put(x, s_A)
+        if x.ndim == 2 and x.shape[1] == form.m:
+            return jax.device_put(x, s_b)
+        spec = P(batch_axis, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
     return jax.tree_util.tree_map(put, form)
 
 

@@ -181,6 +181,47 @@ def test_2d_sharded_single_problem(rng):
     assert abs(p_np - float(res_sh.check.p)) < 1e-9 * (1 + p_np)
 
 
+def test_hybrid_batched_rows(rng):
+    # Two-level data x model layout (the pod layout for BASELINE config 5):
+    # instances over the outer 'batch' axis (DCN-friendly), rows of each A
+    # over the inner 'model' axis (ICI psum per CG dot).  Must agree with
+    # the plain batched solve instance-by-instance.
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from fos_tpu.parallel import make_hybrid_mesh, shard_batched_form_rows
+
+    A, b, c = _lp_batch(rng, B=2, m=16, n=24)
+    m, n = A.shape[1:]
+    form = build_batched_form(A, b, c, nonneg(m), nonneg(n))
+    res_plain = solve_batched(DR(), form, max_iters=3000, eps=1e-6, checki=100)
+
+    mesh = make_hybrid_mesh(2, 4)  # outer=batch (DCN role), inner=model (ICI)
+    form_sh = shard_batched_form_rows(form, mesh)
+    res_sh = solve_batched(DR(), form_sh, max_iters=3000, eps=1e-6, checki=100)
+    np.testing.assert_array_equal(np.asarray(res_sh.status),
+                                  np.asarray(res_plain.status))
+    l = m + n + 1
+    for i in range(2):
+        x_p = np.asarray(res_plain.guess[i, :n] / res_plain.guess[i, l - 1])
+        x_s = np.asarray(res_sh.guess[i, :n] / res_sh.guess[i, l - 1])
+        obj_p, obj_s = float(c[i] @ x_p), float(c[i] @ x_s)
+        assert abs(obj_p - obj_s) <= 1e-4 * (1 + abs(obj_p))
+        assert x_s.min() > -1e-5
+        assert (b[i] - A[i] @ x_s).min() > -1e-3
+
+
+def test_hybrid_mesh_validation(rng):
+    from fos_tpu.parallel import make_hybrid_mesh, shard_batched_form_rows
+
+    with pytest.raises(ValueError, match="devices"):
+        make_hybrid_mesh(3, 5)
+    A, b, c = _lp_batch(rng, B=2, m=16, n=16)
+    form = build_batched_form(A, b, c, nonneg(16), nonneg(16))
+    mesh = make_mesh((len(jax.devices()), 1))
+    with pytest.raises(ValueError, match="m != n"):
+        shard_batched_form_rows(form, mesh)
+
+
 def test_2d_sharded_equals_row_sharded(rng):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
