@@ -40,68 +40,75 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _bell_mv_kernel(cols_ref, blocks_ref, x_ref, y_ref, *, kt):
-    """One grid step: y[i] (+)= sum_kk blocks[i, kb*kt+kk] @ x[cols[...]].
+def _bell_mv_kernel(cols_ref, blocks_ref, x_ref, y_ref, *, mt, kt):
+    """One grid step: y[i*mt+r] (+)= sum_kk blocks[i*mt+r, kb*kt+kk] @ x[cols[...]].
 
-    Grid is (nrb, kmax // kt) with the k-blocks fastest.  Each step streams
-    ``kt`` stored tiles in one pipelined DMA (a single 64 KB tile per step
-    measured only ~35 GB/s — the ~2 us fixed grid-step cost dominates; kt
-    tiles amortize it).  x and y live whole in VMEM — they are O(n) next to
-    the tile data — with x rows picked by dynamic slices driven by the
-    scalar-prefetched ``cols`` table (Mosaic rejects sub-(8, 128) blocks,
-    so row-blocking x/y is not an option).  Padding tiles are stored as
-    zeros — correctness does not depend on masking them.
+    Grid is (nrb // mt, kmax // kt) with the k-blocks fastest.  Each step
+    streams ``mt x kt`` stored tiles in one pipelined DMA (a single 64 KB
+    tile per step measured only ~35 GB/s — the ~2 us fixed grid-step cost
+    dominates; batching tiles amortizes it along BOTH the k axis and the
+    row-block axis, which matters for banded problems where kmax is small).
+    x lives whole in VMEM — it is O(n) next to the tile data — with x rows
+    picked by dynamic slices driven by the scalar-prefetched ``cols`` table
+    (Mosaic rejects sub-(8, 128) blocks, so row-blocking x is not an
+    option; y's (mt, bm) block is legal because the builder pads nrb so
+    mt is 8 or the full row count).  Padding tiles are stored as zeros —
+    correctness does not depend on masking them.
     """
     i = pl.program_id(0)
     kb = pl.program_id(1)
-    # Gather the kt x-rows, then ONE dot_general contracting over both the
-    # tile axis and bn: sum_k blocks[k] @ xs[k].  (A per-tile dot chain
-    # `acc + dot(...)` fails Mosaic with "only constant accumulators
-    # supported".)  MXU truncates f32 inputs to bf16 by default:
-    # precision=HIGHEST is required for f32-accurate products (PERF.md
-    # "MXU default input precision").
-    xs = jnp.stack([x_ref[cols_ref[i, kb * kt + kk], :] for kk in range(kt)])
-    a = blocks_ref[0]             # (kt, bm, bn) tiles
-    parts = jax.lax.dot_general(  # batched over the tile axis -> (kt, bm)
-        a, xs, (((2,), (1,)), ((0,), (0,))),
+    # Gather the mt*kt x-rows, then ONE dot_general batched over both tile
+    # axes and contracting bn: sum_k blocks[r, k] @ xs[r, k].  (A per-tile
+    # dot chain `acc + dot(...)` fails Mosaic with "only constant
+    # accumulators supported".)  MXU truncates f32 inputs to bf16 by
+    # default: precision=HIGHEST is required for f32-accurate products
+    # (PERF.md "MXU default input precision").
+    xs = jnp.stack([
+        jnp.stack([x_ref[cols_ref[i * mt + r, kb * kt + kk], :]
+                   for kk in range(kt)])
+        for r in range(mt)])      # (mt, kt, bn)
+    a = blocks_ref[...]           # (mt, kt, bm, bn) tiles
+    parts = jax.lax.dot_general(  # batched over (row-block, tile) -> (mt, kt, bm)
+        a, xs, (((3,), (2,)), ((0, 1), (0, 1))),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
-    contrib = jnp.sum(parts, axis=0)
+    contrib = jnp.sum(parts, axis=1)  # (mt, bm)
 
     @pl.when(kb == 0)
     def _():
-        y_ref[i, :] = contrib
+        y_ref[...] = contrib
 
     @pl.when(kb != 0)
     def _():
-        y_ref[i, :] += contrib
+        y_ref[...] += contrib
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _bell_mv(cols, blocks, xb, *, interpret=False):
-    """cols: (nrb, kmax) int32; blocks: (nrb, kmax, bm, bn) f32 with kmax a
-    multiple of the k-block (builder guarantees); xb: (ncb, bn) f32 ->
-    y: (nrb, bm) f32."""
+    """cols: (nrb, kmax) int32; blocks: (nrb, kmax, bm, bn) f32 with nrb a
+    multiple of the row-block batch and kmax a multiple of the k-block
+    (builder guarantees both); xb: (ncb, bn) f32 -> y: (nrb, bm) f32."""
     nrb, kmax, bm, bn = blocks.shape
     ncb = xb.shape[0]
     kt = _k_block(kmax)
+    mt = _m_block(nrb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nrb, kmax // kt),
+        grid=(nrb // mt, kmax // kt),
         in_specs=[
             # i*0 (not literal 0): under jax_enable_x64 a literal promotes
             # to i64 and Mosaic fails to legalize the index-map function —
-            # same reason x/y get explicit full-shape blocks + maps instead
+            # same reason x gets an explicit full-shape block + map instead
             # of relying on pallas-synthesized (i64-constant) maps
-            pl.BlockSpec((1, kt, bm, bn),
+            pl.BlockSpec((mt, kt, bm, bn),
                          lambda i, k, cols: (i, k, i * 0, i * 0)),
             pl.BlockSpec((ncb, bn), lambda i, k, cols: (i * 0, i * 0)),
         ],
-        out_specs=pl.BlockSpec((nrb, bm), lambda i, k, cols: (i * 0, i * 0)),
+        out_specs=pl.BlockSpec((mt, bm), lambda i, k, cols: (i, i * 0)),
     )
     return pl.pallas_call(
-        functools.partial(_bell_mv_kernel, kt=kt),
+        functools.partial(_bell_mv_kernel, mt=mt, kt=kt),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nrb, bm), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -114,9 +121,9 @@ def _bell_mv(cols, blocks, xb, *, interpret=False):
 
 
 def _k_block(kmax: int) -> int:
-    """Tiles streamed per grid step: whole k-range when small, else the
-    largest divisor of kmax that is <= 8 (builder pads kmax to keep this
-    >= 4 when kmax > 8)."""
+    """Tiles streamed per grid step along k: whole k-range when small, else
+    the largest divisor of kmax that is <= 8 (builder pads kmax to keep
+    this >= 4 when kmax > 8)."""
     if kmax <= 8:
         return kmax
     for kt in (8, 7, 6, 5, 4):
@@ -125,9 +132,25 @@ def _k_block(kmax: int) -> int:
     return 1
 
 
+def _m_block(nrb: int) -> int:
+    """Row blocks batched per grid step: 8 when the builder padded nrb to a
+    multiple of 8, else the whole (small) row count.  8 is the smallest
+    Mosaic-legal sub-block height for y's (mt, bm) output block, and at
+    kt*mt >= 8 tiles/step the per-step DMA (>= 2 MB) runs at full HBM
+    bandwidth instead of being grid-step-latency-bound."""
+    return 8 if nrb % 8 == 0 and nrb > 8 else nrb
+
+
+def _pad8(nb: int) -> int:
+    """Block-grid rows padded to a multiple of 8 (the kernel's row-block
+    batch, _m_block) when there are more than 8; small grids stay exact
+    (full-array output block is always Mosaic-legal)."""
+    return ((nb + 7) // 8) * 8 if nb > 8 else nb
+
+
 def _build_ell_arrays(m, n, rows, cols, vals, bm, bn):
     """Pack COO triplets into blocked-ELL numpy arrays (host, build-time)."""
-    nrb = math.ceil(m / bm)
+    nrb = _pad8(math.ceil(m / bm))
     ncb = math.ceil(n / bn)
     ti = rows // bm
     tj = cols // bn
@@ -254,8 +277,8 @@ def bell_storage_ratio(A, bm=128, bn=128) -> float:
     dense copy — the build layer's profitability estimate.  Computed from
     the index pattern only (no tile data materialized)."""
     rows, cols, _, m, n = _coo_parts(A)
-    nrb = math.ceil(m / bm)
-    ncb = math.ceil(n / bn)
+    nrb = _pad8(math.ceil(m / bm))
+    ncb = _pad8(math.ceil(n / bn))
     ti = rows // bm
     tj = cols // bn
     pair = ti.astype(np.int64) * ncb + tj
