@@ -51,13 +51,28 @@ def solve_feasibility(problem, alg=None, initx=None, **options):
 
 def solve(A=None, b=None, c=None, K1: ConeSpec = None, K2: ConeSpec = None,
           alg=None, problem: ConicProblem = None, initx=None, dtype=None,
-          **options) -> Solution:
+          warm_start: Solution = None, **options) -> Solution:
     """Solve ``min c'x s.t. Ax + s = b, s in K1, x in K2`` via the HSDE.
 
     ``dtype`` casts the problem data (e.g. ``jnp.float32`` for the TPU fast
     path; defaults to the dtype of the inputs / x64 setting).
+
+    ``warm_start`` seeds the iteration from a previous :class:`Solution` of
+    the same/nearby problem (parametric sweeps): sugar for
+    ``initx=prev.raw_z`` — the reference's ``initx`` option
+    (solverwrapper.jl:10) composed across solves.  Use the same
+    ``equilibrate`` setting as the previous solve (``raw_z`` lives in the
+    scaled iterate space).
     """
     t0 = time.time()
+    if warm_start is not None:
+        if initx is not None:
+            raise ValueError("pass either warm_start or initx, not both")
+        if warm_start.raw_z is None:
+            raise ValueError(
+                "warm_start solution carries no raw_z iterate (certificate "
+                "or feasibility solutions cannot seed a conic solve)")
+        initx = warm_start.raw_z
     raw_inputs = (A, b, c, K1, K2)
     if problem is None:
         if dtype is not None:

@@ -112,3 +112,16 @@ def test_warm_start_across_solves(rng):
     assert warm.status == "Optimal"
     assert warm.iters < cold.iters
     assert abs(warm.objval - cold.objval) < 1e-5 * (1 + abs(cold.objval))
+
+    # warm_start= sugar is exactly initx=prev.raw_z
+    warm2 = solve(A, b2, c, nonneg(m), nonneg(n), alg=DR(), eps=1e-8, verbose=0,
+                  max_iters=60000, warm_start=sol1)
+    assert warm2.status == "Optimal" and warm2.iters == warm.iters
+
+    import pytest
+    with pytest.raises(ValueError, match="not both"):
+        solve(A, b2, c, nonneg(m), nonneg(n), alg=DR(), verbose=0,
+              warm_start=sol1, initx=sol1.raw_z)
+    with pytest.raises(ValueError, match="raw_z"):
+        solve(A, b2, c, nonneg(m), nonneg(n), alg=DR(), verbose=0,
+              warm_start=sol1._replace(raw_z=None))
