@@ -21,9 +21,20 @@ operator, cf. jaxopt/diffcp):
   ``lax.custom_linear_solve``);
 * data gradients: ``(Abar, bbar, cbar) = vjp_theta(T)(w)``.
 
-Supported algorithms: the GAP family with static relaxation coefficients
-(GAP / DR / AP).  The recovered solution ``(x, y, s) = (u_x, u_y, v_s)/tau``
-and any downstream scalar are ordinary differentiable jnp ops of ``z*``.
+Supported algorithms: the GAP family (GAP / DR / AP) and GAPA.  Gradients
+depend only on the fixed-point MAP, not on the path the solver took to
+reach it (the diffcp principle), so GAPA is differentiated through the
+frozen-coefficient map ``T_{a12}`` with ``a12`` = the converged adaptive
+relaxation read from the final solver state — by then the Friedrichs-angle
+estimate has stabilized and ``z*`` is a fixed point of that frozen map.
+The recovered solution ``(x, y, s) = (u_x, u_y, v_s)/tau`` and any
+downstream scalar are ordinary differentiable jnp ops of ``z*``.
+
+Both differentiation modes are available: reverse (``jax.grad`` /
+``jax.jacrev``, the default) via a custom VJP, and forward
+(``jax.jacfwd`` / ``jax.jvp``, ``mode="jvp"``) via a custom JVP solving
+the tangent system ``(I - dS/dz) dz = (dS/dθ) dθ`` with the same
+ray-deflated least-squares treatment.
 
 Sanity oracles used by the tests (LP duality / envelope theorem):
 ``d(c'x*)/dc = x*`` and ``d(c'x*)/db = y*`` at a nondegenerate optimum.
@@ -41,15 +52,16 @@ from fos_tpu.cones.project import project as cone_project
 from fos_tpu.cones.spec import ConeSpec
 from fos_tpu.linalg import hsde_ops
 from fos_tpu.problems.hsde import hsde_cone_spec
-from fos_tpu.solvers.base import GAP
+from fos_tpu.solvers.base import GAP, GAPA
 
 
-def _diff_step(alg: GAP, spec: ConeSpec, psd_method: str, cg_tol: float,
+def _diff_step(coeffs, spec: ConeSpec, psd_method: str, cg_tol: float,
                cg_maxiter: int):
-    """A reverse-differentiable re-expression of the GAP step: the inner
-    SPD solve goes through jax.scipy CG (implicitly differentiated), the
-    cone projection through the fused projector (piecewise smooth)."""
-    alpha, a1, a2 = alg.alpha, alg.alpha1, alg.alpha2
+    """A differentiable re-expression of the GAP step (coefficients frozen
+    at their converged values): the inner SPD solve goes through jax.scipy
+    CG (implicitly differentiated, both modes), the cone projection through
+    the fused projector (piecewise smooth)."""
+    alpha, a1, a2 = coeffs
 
     def T(z, A, b, c):
         l = (z.shape[0]) // 2
@@ -69,11 +81,14 @@ def _diff_step(alg: GAP, spec: ConeSpec, psd_method: str, cg_tol: float,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _fixed_point(A, b, c, alg, static, opts):
-    """Raw DR/GAP fixed point z* of the HSDE iteration (custom VJP)."""
-    return _forward(A, b, c, alg, static, opts)
+    """Raw DR/GAP/GAPA fixed point z* of the HSDE iteration (custom VJP)."""
+    return _forward(A, b, c, alg, static, opts)[0]
 
 
 def _forward(A, b, c, alg, static, opts):
+    """Run the fused solve; returns (z*, (alpha, a1, a2)) with the
+    relaxation coefficients frozen at their final values (a jnp scalar for
+    GAPA's adaptive a12, Python floats for GAP)."""
     from fos_tpu.problems.conic import ConicProblem
     from fos_tpu.problems.hsde import HSDEForm
     from fos_tpu.solvers.engine import fused_solve
@@ -87,19 +102,24 @@ def _forward(A, b, c, alg, static, opts):
                       max_iters=opts.get("max_iters", 10000),
                       eps=opts.get("eps", 1e-8),
                       checki=opts.get("checki", 100))
-    return res.state.x
+    a1, a2 = alg.coeffs(res.state.aux)
+    # the converged coefficients are CONSTANTS of the frozen map: cut any
+    # data dependence the adaptive carry picked up along the solve path
+    a1 = jax.lax.stop_gradient(a1)
+    a2 = jax.lax.stop_gradient(a2)
+    return res.state.x, (alg.alpha, a1, a2)
 
 
 def _fixed_point_fwd(A, b, c, alg, static, opts):
-    zstar = _forward(A, b, c, alg, static, opts)
-    return zstar, (A, b, c, zstar)
+    zstar, coeffs = _forward(A, b, c, alg, static, opts)
+    return zstar, (A, b, c, zstar, coeffs)
 
 
 def _fixed_point_bwd(alg, static, opts, residuals, zbar):
-    A, b, c, zstar = residuals
+    A, b, c, zstar, coeffs = residuals
     K1, K2, psd_method = static
     spec = hsde_cone_spec(K1, K2)
-    T = _diff_step(alg, spec, psd_method,
+    T = _diff_step(coeffs, spec, psd_method,
                    opts.get("diff_cg_tol", 1e-10),
                    opts.get("diff_cg_maxiter", 500))
 
@@ -134,8 +154,15 @@ def _fixed_point_bwd(alg, static, opts, residuals, zbar):
 
     from fos_tpu.linalg.cg import conjugate_gradient
 
+    # Tikhonov damping: the deflated normal-equations operator still has an
+    # EXACT zero eigenvalue along the ray; on some instances CG's recurrence
+    # drifts into that null space on rounding noise and |w| grows without
+    # bound (observed: ||w|| ~ 1e13, garbage gradients, while lam = 1e-10
+    # converges in ~35 iterations to the correct gradient — the smallest
+    # nonzero singular value is O(1e-2), so the bias is negligible).
+    lam = opts.get("adjoint_damping", 1e-10)
     res = conjugate_gradient(
-        lambda w: op_f(op_t(w)), op_f(zbar), jnp.zeros_like(zbar),
+        lambda w: op_f(op_t(w)) + lam * w, op_f(zbar), jnp.zeros_like(zbar),
         tol=opts.get("adjoint_tol", 1e-10),
         max_iters=opts.get("adjoint_iters", 1000))
     w = res.x
@@ -148,22 +175,82 @@ def _fixed_point_bwd(alg, static, opts, residuals, zbar):
 _fixed_point.defvjp(_fixed_point_fwd, _fixed_point_bwd)
 
 
-def diff_solve(A, b, c, K1: ConeSpec, K2: ConeSpec, alg: GAP = None,
-               psd_method: str = "eigh", **opts) -> Tuple[jnp.ndarray, ...]:
-    """Differentiable solve: returns ``(x, y, s)`` as functions of
-    ``(A, b, c)`` suitable for ``jax.grad`` / ``jax.jacrev``.
+@functools.partial(jax.custom_jvp, nondiff_argnums=(3, 4, 5))
+def _fixed_point_j(A, b, c, alg, static, opts):
+    """Forward-mode twin of :func:`_fixed_point` (custom JVP) — JAX allows
+    only one custom rule per callable, so the mode picks the wrapper."""
+    return _forward(A, b, c, alg, static, opts)[0]
 
-    Restrictions: GAP-family algorithms with static coefficients (GAP / DR
-    / AP — GAPA's adaptive relaxation has state the implicit theorem does
-    not cover), dense A, and a solve that actually reaches its fixed point
-    (gradients of an unconverged iterate are not meaningful).
+
+@_fixed_point_j.defjvp
+def _fixed_point_j_jvp(alg, static, opts, primals, tangents):
+    A, b, c = primals
+    dA, db, dc = tangents
+    K1, K2, psd_method = static
+    zstar, coeffs = _forward(A, b, c, alg, static, opts)
+    spec = hsde_cone_spec(K1, K2)
+    T = _diff_step(coeffs, spec, psd_method,
+                   opts.get("diff_cg_tol", 1e-10),
+                   opts.get("diff_cg_maxiter", 500))
+
+    # Same ray-normalized map S as the VJP (see _fixed_point_bwd): the
+    # HSDE step's exact eigenvalue 1 along the solution ray is deflated so
+    # the tangent system becomes solvable in the least-squares sense.
+    nrm_star = jnp.linalg.norm(zstar)
+
+    def S(z, A_, b_, c_):
+        t = T(z, A_, b_, c_)
+        return t * (nrm_star / jnp.linalg.norm(t))
+
+    # rhs = (dS/dθ) dθ at (z*, θ)
+    _, rhs = jax.jvp(lambda A_, b_, c_: S(zstar, A_, b_, c_),
+                     (A, b, c), (dA, db, dc))
+
+    _, vjp_z = jax.vjp(lambda z: S(z, A, b, c), zstar)
+
+    def op_t(w):  # (I - J') w
+        (Jt_w,) = vjp_z(w)
+        return w - Jt_w
+
+    def op_f(w):  # (I - J) w
+        _, Jw = jax.jvp(lambda z: S(z, A, b, c), (zstar,), (w,))
+        return w - Jw
+
+    from fos_tpu.linalg.cg import conjugate_gradient
+
+    # tangent system (I - J) dz = rhs, least squares via CGLS on the
+    # normal equations (I-J)'(I-J) dz = (I-J)' rhs (mirror of the adjoint
+    # solve: directions the solution map is insensitive to are projected
+    # out); same Tikhonov damping as the VJP — see _fixed_point_bwd
+    lam = opts.get("adjoint_damping", 1e-10)
+    res = conjugate_gradient(
+        lambda w: op_t(op_f(w)) + lam * w, op_t(rhs), jnp.zeros_like(rhs),
+        tol=opts.get("adjoint_tol", 1e-10),
+        max_iters=opts.get("adjoint_iters", 1000))
+    return zstar, res.x
+
+
+def diff_solve(A, b, c, K1: ConeSpec, K2: ConeSpec, alg: GAP = None,
+               psd_method: str = "eigh", mode: str = "vjp",
+               **opts) -> Tuple[jnp.ndarray, ...]:
+    """Differentiable solve: returns ``(x, y, s)`` as functions of
+    ``(A, b, c)``.  ``mode="vjp"`` (default) supports ``jax.grad`` /
+    ``jax.jacrev``; ``mode="jvp"`` supports ``jax.jvp`` / ``jax.jacfwd``
+    (parameter sensitivities — many outputs, few inputs).
+
+    Restrictions: GAP-family (GAP/DR/AP) or GAPA (differentiated through
+    the frozen converged-coefficient map), dense A, and a solve that
+    actually reaches its fixed point (gradients of an unconverged iterate
+    are not meaningful).
     """
     alg = alg if alg is not None else GAP(0.5, 2.0, 2.0)  # DR
-    if not isinstance(alg, GAP):
-        raise ValueError("diff_solve supports the static-coefficient GAP "
-                         "family (GAP/DR/AP)")
+    if not isinstance(alg, (GAP, GAPA)):
+        raise ValueError("diff_solve supports GAP/DR/AP and GAPA")
+    if mode not in ("vjp", "jvp"):
+        raise ValueError(f"mode must be 'vjp' or 'jvp', got {mode!r}")
+    fp = _fixed_point if mode == "vjp" else _fixed_point_j
     static = (K1, K2, psd_method)
-    zstar = _fixed_point(A, b, c, alg, static, _HashableOpts(opts))
+    zstar = fp(A, b, c, alg, static, _HashableOpts(opts))
     # solution recovery (differentiable): one more projection pass then /tau
     spec = hsde_cone_spec(K1, K2)
     l = K1.dim + K2.dim + 1
