@@ -63,17 +63,18 @@ def _bell_mv_kernel(cols_ref, blocks_ref, x_ref, y_ref, *, mt, kt):
     # accumulators supported".)  MXU truncates f32 inputs to bf16 by
     # default: precision=HIGHEST is required for f32-accurate products
     # (PERF.md "MXU default input precision").
-    xs = jnp.stack([
-        jnp.stack([x_ref[cols_ref[i * mt + r, kb * kt + kk], :]
-                   for kk in range(kt)])
-        for r in range(mt)])      # (mt, kt, bn)
+    xs = jnp.stack([x_ref[cols_ref[i * mt + r, kb * kt + kk], :]
+                    for r in range(mt) for kk in range(kt)])  # (mt*kt, bn)
     a = blocks_ref[...]           # (mt, kt, bm, bn) tiles
-    parts = jax.lax.dot_general(  # batched over (row-block, tile) -> (mt, kt, bm)
-        a, xs, (((3,), (2,)), ((0, 1), (0, 1))),
+    bm, bn = a.shape[2], a.shape[3]
+    # ONE single-batch-axis dot_general (Mosaic's tpu.matmul supports at
+    # most 1 batch dim): batch over the flattened (row-block, tile) axis
+    parts = jax.lax.dot_general(
+        a.reshape(mt * kt, bm, bn), xs, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )
-    contrib = jnp.sum(parts, axis=1)  # (mt, bm)
+    )                             # (mt*kt, bm)
+    contrib = jnp.sum(parts.reshape(mt, kt, bm), axis=1)  # (mt, bm)
 
     @pl.when(kb == 0)
     def _():

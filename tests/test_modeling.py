@@ -32,9 +32,11 @@ def test_dims_object_and_dict_agree():
         exp = 1
 
     assert _dims_to_cone_dict(ConeDims()) == {
-        "z": 2, "l": 3, "q": [4], "s": [3], "ep": 1, "ed": 0}
+        "z": 2, "l": 3, "q": [4], "s": [3], "ep": 1, "ed": 0, "p": []}
     assert _dims_to_cone_dict({"f": 2, "l": 3, "q": [4], "s": [3], "ep": 1}) == {
-        "z": 2, "l": 3, "q": [4], "s": [3], "ep": 1, "ed": 0}
+        "z": 2, "l": 3, "q": [4], "s": [3], "ep": 1, "ed": 0, "p": []}
+    assert _dims_to_cone_dict({"l": 1, "p": [0.3, -0.6]}) == {
+        "z": 0, "l": 1, "q": [], "s": [], "ep": 0, "ed": 0, "p": [0.3, -0.6]}
 
 
 def test_lp_fixture_vs_linprog():
