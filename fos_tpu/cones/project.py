@@ -39,6 +39,56 @@ from fos_tpu.cones import pow as pow_cone
 _SQRT2 = float(np.sqrt(2.0))  # Python float: weak-typed so f32 inputs stay f32
 
 
+@jax.custom_jvp
+def psd_project_eigh(X):
+    """Eigh-based projection of symmetric ``X`` onto the PSD cone, with a
+    degeneracy-safe derivative.
+
+    JAX's stock ``eigh`` JVP divides by eigenvalue gaps ``li - lj`` and
+    returns NaN on (numerically) repeated eigenvalues — which REAL SDP
+    solutions hit constantly (a rank-r optimum has ``side - r`` repeated
+    zeros; symmetric data repeats nonzeros).  The projection itself is
+    perfectly differentiable there: its directional derivative is the
+    classic Daleckii–Krein divided-difference form
+
+        ``DP(X)[E] = V (K o (V' E V)) V'``,
+        ``K_ij = (f(li) - f(lj)) / (li - lj)`` with ``f = max(., 0)``,
+
+    whose diagonal/degenerate limit is ``f'(l) = step(l)`` — finite for
+    every pair.  Where ``li = lj = 0`` exactly (a genuinely nonsmooth
+    point) the symmetric subgradient ``(step(li) + step(lj)) / 2`` is used.
+    The JVP is linear in the tangent, so JAX transposes it automatically —
+    reverse mode (``jax.grad`` through :func:`fos_tpu.diff.diff_solve` on
+    SDPs) works too.
+    """
+    w, V = jnp.linalg.eigh(X)
+    return jnp.einsum("...ik,...k,...jk->...ij", V, jnp.maximum(w, 0.0), V)
+
+
+@psd_project_eigh.defjvp
+def _psd_project_eigh_jvp(primals, tangents):
+    (X,) = primals
+    (E,) = tangents
+    w, V = jnp.linalg.eigh(X)
+    f = jnp.maximum(w, 0.0)
+    Y = jnp.einsum("...ik,...k,...jk->...ij", V, f, V)
+
+    wi = w[..., :, None]
+    wj = w[..., None, :]
+    den = wi - wj
+    scale = jnp.max(jnp.abs(w), axis=-1, keepdims=True)[..., None]
+    tiny = 100.0 * jnp.finfo(w.dtype).eps
+    same = jnp.abs(den) <= tiny * jnp.maximum(scale, 1.0)
+    step = (w > 0.0).astype(w.dtype)
+    avg = 0.5 * (step[..., :, None] + step[..., None, :])
+    num = f[..., :, None] - f[..., None, :]
+    K = jnp.where(same, avg, num / jnp.where(same, 1.0, den))
+
+    Et = jnp.einsum("...ki,...kl,...lj->...ij", V, E, V)
+    dY = jnp.einsum("...ik,...kl,...jl->...ij", V, K * Et, V)
+    return Y, dY
+
+
 def _build_plan(blocks: Tuple[Tuple[Cone, int], ...],
                 params: Tuple[Tuple[float, ...], ...] = ()):
     """Precompute (as numpy constants) the index arrays for the fused pass."""
@@ -340,9 +390,7 @@ def _psd_project_group(x, y, grp, psd_method: str = "eigh"):
 
         Xp = psd_project_poly(X)
     else:
-        w, V = jnp.linalg.eigh(X)
-        w = jnp.maximum(w, 0.0)
-        Xp = jnp.einsum("...ik,...k,...jk->...ij", V, w, V)
+        Xp = psd_project_eigh(X)
     out = Xp[..., bidx, rows, cols] * (1.0 / unscale)
     if grp["uniform"]:
         return y.at[..., grp["gather"]].set(out)

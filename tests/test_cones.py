@@ -9,6 +9,7 @@ checked against a dense/numpy oracle, plus the Moreau identity
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from fos_tpu.cones import (
@@ -295,3 +296,54 @@ def test_psd_bucketed_batch_and_dual(rng):
     md = np.asarray(x + project(spec, -x, psd_method="eigh"))
     np.testing.assert_allclose(np.asarray(project_dual(spec, x, psd_method="eigh")),
                                md, atol=1e-9)
+
+
+def test_psd_project_derivative_degenerate(rng):
+    # Degeneracy-safe PSD-projection derivative (Daleckii-Krein divided
+    # differences): the stock eigh JVP NaNs on repeated eigenvalues, which
+    # every low-rank SDP optimum has.  Forward and reverse mode must both
+    # be finite and match central finite differences on a matrix with a
+    # REPEATED eigenvalue pair.
+    from fos_tpu.cones.project import psd_project_eigh
+
+    d = 4
+    Q, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    X = jnp.asarray(Q @ np.diag([1.5, -2.0, -2.0, 0.7]) @ Q.T)  # -2 repeated
+    E = rng.standard_normal((d, d))
+    E = jnp.asarray((E + E.T) / 2)
+
+    _, dY = jax.jvp(psd_project_eigh, (X,), (E,))
+    assert np.isfinite(np.asarray(dY)).all()
+    eps = 1e-6
+    fd = (np.asarray(psd_project_eigh(X + eps * E))
+          - np.asarray(psd_project_eigh(X - eps * E))) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(dY), fd, atol=1e-7)
+
+    # reverse mode (custom JVP is linear in the tangent -> transposable)
+    g = jax.grad(lambda X_: jnp.sum(psd_project_eigh(X_) * E))(X)
+    assert np.isfinite(np.asarray(g)).all()
+    fdg = (float(jnp.sum(psd_project_eigh(X + eps * E) * E))
+           - float(jnp.sum(psd_project_eigh(X - eps * E) * E))) / (2 * eps)
+    assert abs(float(jnp.sum(g * E)) - fdg) < 1e-7 * (1 + abs(fdg))
+
+    # EXACT ties (where stock eigh-AD divides by a zero gap): a diagonal
+    # matrix with a repeated entry, and the zero matrix (the solver's
+    # init).  Stock AD must NaN (guards against the custom rule silently
+    # not being used); ours must stay finite and FD-correct.
+    def stock(X_):
+        w, V = jnp.linalg.eigh(X_)
+        return jnp.einsum("ik,k,jk->ij", V, jnp.maximum(w, 0.0), V)
+
+    Xt = jnp.asarray(np.diag([1.5, -2.0, -2.0, 0.7]))
+    _, dstock = jax.jvp(stock, (Xt,), (E,))
+    assert not np.isfinite(np.asarray(dstock)).all()
+    _, dYt = jax.jvp(psd_project_eigh, (Xt,), (E,))
+    fdt = (np.asarray(psd_project_eigh(Xt + eps * E))
+           - np.asarray(psd_project_eigh(Xt - eps * E))) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(dYt), fdt, atol=1e-7)
+
+    Z = jnp.zeros((d, d))
+    _, dz_stock = jax.jvp(stock, (Z,), (E,))
+    assert not np.isfinite(np.asarray(dz_stock)).all()
+    _, dz = jax.jvp(psd_project_eigh, (Z,), (E,))
+    assert np.isfinite(np.asarray(dz)).all()

@@ -245,3 +245,38 @@ def test_socp_gradient_fd(rng):
 
     g = jax.grad(objective)(a)
     np.testing.assert_allclose(np.asarray(g), np.asarray(c), atol=1e-6)
+
+
+def test_sdp_gradient_lambda_min(rng):
+    # Differentiable SDP: min <C,X> s.t. tr(X)=1, X >= 0 has optimum
+    # lambda_min(C) at X* = v v' (v = unit minimum eigenvector), so
+    # d(value)/dC = v v'.  C is built with a REPEATED non-minimal
+    # eigenvalue, so the dual slack C - lambda_min*I is degenerate at the
+    # optimum — the case the divided-difference PSD derivative
+    # (cones/project.py:psd_project_eigh) exists for: stock eigh-AD NaNs.
+    from fos_tpu.cones import psd, zero
+    from fos_tpu.cones.project import svec
+
+    d = 3
+    Q, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    lam = np.array([1.0, 2.0, 2.0])  # lambda_min simple; (2, 2) repeated
+    C = Q @ np.diag(lam) @ Q.T
+    v = Q[:, 0]
+    K1, K2 = zero(1), psd(d)
+    A = jnp.asarray(np.asarray(svec(jnp.eye(d)))[None, :])  # tr(X) row
+    b = jnp.ones(1)
+    c0 = jnp.asarray(np.asarray(svec(jnp.asarray(C))))
+
+    def value(c_):
+        x, y, s = diff_solve(A, b, c_, K1, K2, alg=DR(), eps=1e-10,
+                             max_iters=60000)
+        return jnp.vdot(c_, x)
+
+    val = float(value(c0))
+    assert abs(val - 1.0) < 1e-6  # lambda_min(C) = 1
+
+    g = jax.grad(value)(c0)
+    assert np.isfinite(np.asarray(g)).all()
+    np.testing.assert_allclose(np.asarray(g),
+                               np.asarray(svec(jnp.asarray(np.outer(v, v)))),
+                               atol=5e-5)
