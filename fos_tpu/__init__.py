@@ -47,5 +47,16 @@ from fos_tpu.interface import (  # noqa: F401
 from fos_tpu.interface.api import solve_feasibility  # noqa: F401
 from fos_tpu.problems.feasibility import Feasibility  # noqa: F401
 from fos_tpu.diff import diff_solve  # noqa: F401
+from fos_tpu.modeling import (  # noqa: F401
+    ExpCone,
+    PowCone,
+    Problem,
+    Variable,
+    maximize,
+    minimize,
+    norm2,
+    sum_squares,
+    trace,
+)
 
 __version__ = "0.1.0"

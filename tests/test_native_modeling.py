@@ -1,0 +1,175 @@
+"""Native modeling-layer tests (fos_tpu/modeling.py) — the Convex.jl-role
+front end driving the solver end-to-end, checked against scipy / closed
+forms (the testconvex.jl conformance pattern, SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from fos_tpu.modeling import (
+    ExpCone,
+    PowCone,
+    Problem,
+    Variable,
+    maximize,
+    minimize,
+    norm2,
+    sum_squares,
+    trace,
+)
+from fos_tpu.solvers.base import DR, GAPA
+
+
+def test_nnls_readme_matches_scipy(rng):
+    # the reference README problem written the reference way:
+    #   minimize(sumsquares(A*x - b), x >= 0)   (README.md:9-17)
+    from scipy.optimize import nnls as scipy_nnls
+
+    m, n = 40, 50
+    A = rng.standard_normal((m, n))
+    b = rng.standard_normal(m)
+    x = Variable(n)
+    prob = Problem(minimize(sum_squares(A @ x - b)), [x >= 0])
+    sol = prob.solve(alg=DR(), eps=1e-9, max_iters=40000, verbose=0)
+    assert prob.status == "Optimal"
+    xs, _ = scipy_nnls(A, b)
+    obj_ref = float(np.sum((A @ xs - b) ** 2))
+    assert abs(prob.value - obj_ref) < 1e-6 * (1 + obj_ref)
+    np.testing.assert_allclose(x.value, xs, atol=1e-4)
+
+
+def test_lp_matches_linprog(rng):
+    from scipy.optimize import linprog
+
+    m, n = 12, 8
+    A = rng.standard_normal((m, n))
+    x0 = np.abs(rng.standard_normal(n))
+    b = A @ x0 + np.abs(rng.standard_normal(m))
+    c = np.abs(rng.standard_normal(n)) + 0.1
+    x = Variable(n)
+    prob = Problem(minimize(c @ np.eye(n) @ x), [A @ x <= b, x >= 0])
+    prob.solve(alg=DR(), eps=1e-9, max_iters=60000, verbose=0)
+    ref = linprog(c, A_ub=A, b_ub=b, bounds=[(0, None)] * n)
+    assert prob.status == "Optimal"
+    assert abs(prob.value - ref.fun) < 1e-6 * (1 + abs(ref.fun))
+
+
+def test_lambda_min_sdp_closed_form(rng):
+    # min <C,X> s.t. tr(X) = 1, X >> 0  ->  lambda_min(C)
+    d = 4
+    Q, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    lam = np.array([0.3, 1.0, 2.0, 2.0])
+    C = Q @ np.diag(lam) @ Q.T
+    X = Variable((d, d), symmetric=True)
+    prob = Problem(minimize(trace(C @ X)), [trace(X) == 1, X >> 0])
+    prob.solve(alg=DR(), eps=1e-9, max_iters=60000, verbose=0)
+    assert prob.status == "Optimal"
+    assert abs(prob.value - 0.3) < 1e-5
+    v = Q[:, 0]
+    np.testing.assert_allclose(X.value, np.outer(v, v), atol=1e-4)
+
+
+def test_exp_cone_e():
+    # min z s.t. (x, y, z) in Kexp, x = y = 1  ->  z* = e
+    x, y, z = Variable(), Variable(), Variable()
+    prob = Problem(minimize(1.0 * z), [ExpCone(x, y, z), x == 1, y == 1])
+    prob.solve(alg=DR(), eps=1e-9, max_iters=60000, verbose=0)
+    assert prob.status == "Optimal"
+    assert abs(prob.value - np.e) < 1e-5
+
+
+def test_pow_cone_geometric_mean():
+    # max z s.t. (x, y, z) in Pow(0.5), x = 2, y = 8  ->  z* = 4
+    x, y, z = Variable(), Variable(), Variable()
+    prob = Problem(maximize(1.0 * z),
+                   [PowCone(x, y, z, 0.5), x == 2, y == 8])
+    prob.solve(alg=DR(), eps=1e-9, max_iters=60000, verbose=0)
+    assert prob.status == "Optimal"
+    assert abs(prob.value - 4.0) < 1e-4
+
+
+def test_norm2_constraint_projection(rng):
+    # min c'x s.t. ||x - a|| <= r: closed form x* = a - r c/||c||
+    n = 6
+    a = rng.standard_normal(n)
+    c = rng.standard_normal(n)
+    x = Variable(n)
+    prob = Problem(minimize(c @ np.eye(n) @ x), [norm2(x - a) <= 1.0])
+    prob.solve(alg=DR(), eps=1e-10, max_iters=60000, verbose=0)
+    assert prob.status == "Optimal"
+    np.testing.assert_allclose(x.value, a - c / np.linalg.norm(c), atol=1e-5)
+
+
+def test_norm2_objective(rng):
+    # min ||x - a|| s.t. x >= 0 -> x* = max(a, 0), value ||min(a, 0)||
+    n = 7
+    a = rng.standard_normal(n)
+    x = Variable(n)
+    prob = Problem(minimize(norm2(x - a)), [x >= 0])
+    prob.solve(alg=GAPA(0.8), eps=1e-9, max_iters=60000, verbose=0)
+    assert prob.status == "Optimal"
+    # the norm objective is nonsmooth at the solution: iterate accuracy is
+    # ~sqrt(eps)-level even at eps=1e-9
+    np.testing.assert_allclose(x.value, np.maximum(a, 0), atol=5e-4)
+    assert abs(prob.value - np.linalg.norm(np.minimum(a, 0))) < 1e-5
+
+
+def test_weighted_atoms_and_affine_mix(rng):
+    # min ||x - a||^2 + lam * 1'x s.t. x >= 0: separable closed form
+    #   x_i* = max(a_i - lam/2, 0)
+    n = 5
+    lam = 0.7
+    a = rng.standard_normal(n) + 0.5
+    ones = np.ones((1, n))
+    x = Variable(n)
+    prob = Problem(minimize(sum_squares(x - a) + lam * (ones @ x)[0]),
+                   [x >= 0])
+    prob.solve(alg=DR(), eps=1e-10, max_iters=60000, verbose=0)
+    xs = np.maximum(a - lam / 2, 0)
+    np.testing.assert_allclose(x.value, xs, atol=1e-5)
+    ref = float(np.sum((xs - a) ** 2) + lam * xs.sum())
+    assert abs(prob.value - ref) < 1e-5 * (1 + abs(ref))
+
+
+def test_matrix_algebra_lowering(rng):
+    # transpose/trace/matmul consistency: tr(B' X) == <B, X>
+    d = 3
+    B = rng.standard_normal((d, d))
+    X = Variable((d, d))
+    e = trace(B.T @ X)
+    # evaluate the affine map at a random point by compiling a trivial
+    # equality-constrained problem
+    x0 = rng.standard_normal((d, d))
+    prob = Problem(minimize(e), [X == x0])
+    prob.solve(alg=DR(), eps=1e-9, max_iters=40000, verbose=0)
+    assert prob.status == "Optimal"
+    assert abs(prob.value - float(np.sum(B * x0))) < 1e-6
+
+
+def test_infeasible_status():
+    x = Variable(3)
+    prob = Problem(minimize((np.ones((1, 3)) @ x)[0]),
+                   [x >= 1, x <= 0])
+    prob.solve(alg=DR(), eps=1e-6, max_iters=20000, verbose=0)
+    assert prob.status == "Infeasible"
+
+
+def test_indexing_and_sum(rng):
+    # x[0] + x[2] == 3, x[1] == 1, minimize sum(x) with x >= 0
+    x = Variable(4)
+    prob = Problem(minimize(x.sum()),
+                   [x[0] + x[2] == 3, x[1] == 1, x >= 0])
+    prob.solve(alg=DR(), eps=1e-9, max_iters=40000, verbose=0)
+    assert prob.status == "Optimal"
+    assert abs(prob.value - 4.0) < 1e-6
+
+
+def test_constraint_validation():
+    x = Variable(3)
+    with pytest.raises(TypeError, match="constraint"):
+        Problem(minimize(x.sum()), [True])
+    with pytest.raises(ValueError, match="square"):
+        Variable((2, 3), symmetric=True)
+    with pytest.raises(TypeError, match="nonconvex"):
+        x.sum() <= norm2(x)
+    with pytest.raises(ValueError, match="X >> 0"):
+        Variable((2, 2)) >> 1
