@@ -268,6 +268,12 @@ class Constraint:
         self.kind = kind
         self.expr = expr
         self.alpha = alpha
+        #: dual multiplier rows after ``Problem.solve`` (the Convex.jl
+        #: ``constraint.dual`` role): the slice of the conic dual ``y``
+        #: for this constraint's rows — for ``zero``/``nonneg`` the
+        #: Lagrange multipliers of ``expr = 0`` / ``expr >= 0``; for
+        #: ``psd`` reconstructed to the dual matrix via ``smat``.
+        self.dual_value = None
 
     def __repr__(self):
         return f"Constraint({self.kind}, {self.expr.shape})"
@@ -506,38 +512,42 @@ class Problem:
             groups[con.kind].append(con)
 
         A_rows, b_rows = [], []
+        row_map: List[Tuple[Constraint, int, int]] = []
+        row = 0
         cone = {"z": 0, "l": 0, "q": [], "s": [], "ep": 0, "p": []}
+
+        def emit(con, F, g):
+            nonlocal row
+            A_rows.append(F)
+            b_rows.append(g)
+            row_map.append((con, row, F.shape[0]))
+            row += F.shape[0]
+
         for con in groups["zero"]:
             F, g = rows_of(con.expr)   # F x + g = 0: s = b - Ax in Zero
-            A_rows.append(F)           # with A = F, b = -g
-            b_rows.append(-g)
+            emit(con, F, -g)           # with A = F, b = -g
             cone["z"] += con.expr.size
         for con in groups["nonneg"]:
             F, g = rows_of(con.expr)   # F x + g >= 0 -> s = g - (-F) x >= 0
-            A_rows.append(-F)
-            b_rows.append(g)
+            emit(con, -F, g)
             cone["l"] += con.expr.size
         for con in groups["soc"]:
             F, g = rows_of(con.expr)
-            A_rows.append(-F)
-            b_rows.append(g)
+            emit(con, -F, g)
             cone["q"].append(con.expr.size)
         for con in groups["psd"]:
             nn = con.expr.shape[0]
             sym = _symmetrize_svec(con.expr)   # scaled svec rows
             F, g = rows_of(sym)
-            A_rows.append(-F)
-            b_rows.append(g)
+            emit(con, -F, g)
             cone["s"].append(nn)
         for con in groups["exp"]:
             F, g = rows_of(con.expr)
-            A_rows.append(-F)
-            b_rows.append(g)
+            emit(con, -F, g)
             cone["ep"] += 1
         for con in groups["pow"]:
             F, g = rows_of(con.expr)
-            A_rows.append(-F)
-            b_rows.append(g)
+            emit(con, -F, g)
             cone["p"].append(con.alpha)
 
         if not A_rows:
@@ -546,16 +556,24 @@ class Problem:
         b = np.concatenate(b_rows)
         cF, cg = rows_of(affine)
         data = {"A": A, "b": b, "c": cF.reshape(-1)}
-        return data, cone, variables, offsets, float(cg[0])
+        return data, cone, variables, offsets, float(cg[0]), row_map
 
     def solve(self, alg=None, **options):
         from fos_tpu.interface.conic import solve_scs
 
-        data, cone, variables, offsets, const = self.compile()
+        data, cone, variables, offsets, const, row_map = self.compile()
         sol = solve_scs(data, cone, alg=alg, **options)
         self.solution = sol
         self.status = sol.status
         x = np.asarray(sol.x)
+        y = np.asarray(sol.y)
+        for con, start, sz in row_map:
+            dual = y[start:start + sz]
+            if con.kind == "psd":
+                from fos_tpu.cones.project import smat
+
+                dual = np.asarray(smat(dual))
+            con.dual_value = dual
         for v in variables:
             raw = x[offsets[id(v)]:offsets[id(v)] + v.nfree]
             if v.symmetric:

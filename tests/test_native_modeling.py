@@ -173,3 +173,32 @@ def test_constraint_validation():
         x.sum() <= norm2(x)
     with pytest.raises(ValueError, match="X >> 0"):
         Variable((2, 2)) >> 1
+
+
+def test_constraint_duals_vs_linprog(rng):
+    # LP constraint duals (the Convex.jl constraint.dual role) against
+    # scipy.linprog's marginals.
+    from scipy.optimize import linprog
+
+    m, n = 10, 6
+    A = rng.standard_normal((m, n))
+    x0 = np.abs(rng.standard_normal(n))
+    b = A @ x0 + np.abs(rng.standard_normal(m)) * (rng.random(m) > 0.5)
+    c = np.abs(rng.standard_normal(n)) + 0.1
+    Aeq = rng.standard_normal((2, n))
+    beq = Aeq @ x0
+    x = Variable(n)
+    ub = A @ x <= b
+    eq = Aeq @ x == beq
+    prob = Problem(minimize(c @ x), [ub, eq, x >= 0])
+    prob.solve(alg=DR(), eps=1e-10, max_iters=80000, verbose=0)
+    ref = linprog(c, A_ub=A, b_ub=b, A_eq=Aeq, b_eq=beq,
+                  bounds=[(0, None)] * n)
+    assert prob.status == "Optimal" and ref.status == 0
+    assert abs(prob.value - ref.fun) < 1e-6 * (1 + abs(ref.fun))
+    # scipy reports marginals d(obj)/d(rhs): <= 0 for ub rows.  Our dual y
+    # for nonneg slack rows is >= 0 with obj = c'x = -b'y...: pin the map
+    np.testing.assert_allclose(ub.dual_value, -np.asarray(ref.ineqlin.marginals),
+                               atol=1e-5)
+    np.testing.assert_allclose(eq.dual_value, -np.asarray(ref.eqlin.marginals),
+                               atol=1e-5)
