@@ -1,0 +1,66 @@
+"""Markowitz portfolio via the native modeling layer.
+
+The same problem `examples/portfolio.py` lowers to conic form by hand
+(~40 lines of index bookkeeping) written in the DSL (~5 lines), plus a
+risk-aversion sweep with warm starting.  Cross-checked against scipy
+SLSQP.  This is the reference's Convex.jl workflow
+(/root/reference/README.md:9-17) running natively.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_platforms", os.environ.get("FOS_TPU_EXAMPLE_PLATFORM", "cpu"))
+
+import numpy as np
+
+from fos_tpu import AndersonWrapper, DR, Problem, Variable, minimize, sum_squares
+
+
+def main():
+    rng = np.random.default_rng(1)
+    n, k = 50, 5          # assets, factors
+    F = rng.standard_normal((n, k)) * 0.1
+    d = np.abs(rng.standard_normal(n)) * 0.05 + 0.01
+    mu = rng.standard_normal(n) * 0.03
+    S = F @ F.T + np.diag(d)
+    Shalf = np.linalg.cholesky(S).T    # w' S w = ||Shalf w||^2
+
+    prev = None
+    for gamma in (1.0, 2.0, 5.0, 10.0):
+        w = Variable(n)
+        prob = Problem(
+            minimize(gamma * sum_squares(Shalf @ w) - mu @ w),
+            [np.ones((1, n)) @ w == 1.0, w >= 0.0],
+        )
+        # plain GAPA/DR converge but certify slowly on this badly scaled
+        # instance (gap channel decays ~2%/100 iters; still Indeterminate
+        # at 100k iterations) — adaptive Anderson closes it in a few
+        # hundred: 400 vs >100000 iterations at gamma=1.
+        sol = prob.solve(alg=AndersonWrapper(alg=DR(), adaptive=True),
+                         eps=1e-8, max_iters=60000, verbose=0,
+                         warm_start=prev)
+        prev = sol
+
+        # SLSQP oracle
+        from scipy.optimize import minimize as sp_min
+
+        ref = sp_min(lambda v: gamma * v @ S @ v - mu @ v,
+                     np.full(n, 1.0 / n),
+                     jac=lambda v: 2 * gamma * S @ v - mu,
+                     constraints=[{"type": "eq",
+                                   "fun": lambda v: v.sum() - 1.0}],
+                     bounds=[(0, None)] * n, method="SLSQP",
+                     options={"maxiter": 500, "ftol": 1e-12})
+        err = abs(prob.value - ref.fun) / (1 + abs(ref.fun))
+        print(f"gamma={gamma:5.1f}  status={prob.status}  iters={sol.iters:5d}"
+              f"  obj={prob.value:+.6f}  vs SLSQP rel err {err:.1e}")
+        assert prob.status == "Optimal" and err < 1e-5
+
+
+if __name__ == "__main__":
+    main()
