@@ -131,13 +131,13 @@ class AffineExpr:
         a, b = self.shape
         if C.shape[0] != b:
             raise ValueError(f"matmul shapes {self.shape} @ {C.shape}")
-        # vec(E C) = (I_a (x) C') vec(E)
-        M = np.kron(np.eye(a), C.T if C.ndim == 2 else C[None, :].T)
+        # row-major vec(E C) = (I_a (x) C') vec(E); for a 1-D C the block
+        # is the (1, b) row C itself
+        M = np.kron(np.eye(a), C.T if C.ndim == 2 else C[None, :])
         out_shape = (a, C.shape[1]) if C.ndim == 2 else (a,)
-        sel = M if C.ndim == 2 else M  # (a*c, a*b)
         return AffineExpr(out_shape,
-                          {v: sel @ F for v, F in self.terms.items()},
-                          sel @ self.const)
+                          {v: M @ F for v, F in self.terms.items()},
+                          M @ self.const)
 
     def __rmatmul__(self, other):
         # constant @ expr

@@ -202,3 +202,20 @@ def test_constraint_duals_vs_linprog(rng):
                                atol=1e-5)
     np.testing.assert_allclose(eq.dual_value, -np.asarray(ref.eqlin.marginals),
                                atol=1e-5)
+
+
+def test_expr_matmul_constant(rng):
+    # E @ C (2-D @ 2-D, 2-D @ 1-D) lowering correctness: pin the affine
+    # map by solving E == E0 and evaluating.
+    d = 3
+    E0 = rng.standard_normal((d, d))
+    C2 = rng.standard_normal((d, 2))
+    c1 = rng.standard_normal(d)
+    E = Variable((d, d))
+    # scalar objective: sum of all entries of E @ C2 plus (E @ c1) entries
+    obj = (E @ C2).sum() + (E @ c1).sum()
+    prob = Problem(minimize(obj), [E == E0])
+    prob.solve(alg=DR(), eps=1e-9, max_iters=40000, verbose=0)
+    ref = float((E0 @ C2).sum() + (E0 @ c1).sum())
+    assert prob.status == "Optimal"
+    assert abs(prob.value - ref) < 1e-6 * (1 + abs(ref))
