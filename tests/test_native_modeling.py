@@ -205,17 +205,21 @@ def test_constraint_duals_vs_linprog(rng):
 
 
 def test_expr_matmul_constant(rng):
-    # E @ C (2-D @ 2-D, 2-D @ 1-D) lowering correctness: pin the affine
-    # map by solving E == E0 and evaluating.
-    d = 3
-    E0 = rng.standard_normal((d, d))
-    C2 = rng.standard_normal((d, 2))
-    c1 = rng.standard_normal(d)
-    E = Variable((d, d))
-    # scalar objective: sum of all entries of E @ C2 plus (E @ c1) entries
-    obj = (E @ C2).sum() + (E @ c1).sum()
+    # E @ C (2-D @ 2-D, 2-D @ 1-D) lowering correctness on a NON-square
+    # variable, pinned through a random bilinear functional w1'(E C2)w2 +
+    # w3'(E c1) — permutation- and vec-convention-sensitive (a plain
+    # .sum() reduction cannot distinguish a row-permuted lowering).
+    d, b = 3, 4
+    E0 = rng.standard_normal((d, b))
+    C2 = rng.standard_normal((b, 2))
+    c1 = rng.standard_normal(b)
+    w1 = rng.standard_normal(d)
+    w2 = rng.standard_normal(2)
+    w3 = rng.standard_normal(d)
+    E = Variable((d, b))
+    obj = ((w1[None, :] @ (E @ C2)) @ w2)[0] + (w3 @ (E @ c1))
     prob = Problem(minimize(obj), [E == E0])
     prob.solve(alg=DR(), eps=1e-9, max_iters=40000, verbose=0)
-    ref = float((E0 @ C2).sum() + (E0 @ c1).sum())
+    ref = float(w1 @ (E0 @ C2) @ w2 + w3 @ (E0 @ c1))
     assert prob.status == "Optimal"
     assert abs(prob.value - ref) < 1e-6 * (1 + abs(ref))
