@@ -107,6 +107,11 @@ def _build_plan(blocks: Tuple[Tuple[Cone, int], ...],
     pow_dual_idx = []  # (start, alpha) of dual power 3-blocks
 
     if params == ():
+        if any(cone in (Cone.POW_PRIMAL, Cone.POW_DUAL) for cone, _ in blocks):
+            raise ValueError(
+                "power-cone blocks need per-block alpha params; an empty "
+                "params tuple would silently project POW slices as FREE "
+                "(mirror of the ConeSpec.__post_init__ guard)")
         params = tuple(() for _ in blocks)
     off = 0
     seg = 0

@@ -86,6 +86,8 @@ def solve(A=None, b=None, c=None, K1: ConeSpec = None, K2: ConeSpec = None,
     opts.update(options)
     refine = int(opts.pop("refine", 0))
     refine_kwargs = dict(opts.pop("refine_kwargs", ()) or ())
+    equilibrate = bool(opts.pop("equilibrate", False))
+    equilibrate_iters = int(opts.pop("equilibrate_iters", 10))
     form = HSDEForm.build(
         problem,
         direct=getattr(alg, "direct", False),
@@ -94,7 +96,8 @@ def solve(A=None, b=None, c=None, K1: ConeSpec = None, K2: ConeSpec = None,
         pallas=bool(opts.pop("pallas", False)),
         psd_method=str(opts.pop("psd_method", "auto")),
         cg_variant=str(opts.pop("cg_variant", "standard")),
-        equilibrate=bool(opts.pop("equilibrate", False)),
+        equilibrate=equilibrate,
+        equilibrate_iters=equilibrate_iters,
         strict_certificates=bool(opts.pop("strict_certificates", False)),
         densify=opts.pop("densify", "auto"),
         compensated=opts.pop("compensated", "auto"),
@@ -106,13 +109,14 @@ def solve(A=None, b=None, c=None, K1: ConeSpec = None, K2: ConeSpec = None,
     res = engine.run(form, alg, initx=initx, init_duration=init_duration, **opts)
     if refine > 0 and res.status in (engine.Status.CONTINUE, engine.Status.OPTIMAL):
         return _refine_solution(raw_inputs, problem, alg, form, res, refine,
-                                refine_kwargs, opts)
+                                refine_kwargs, opts, equilibrate,
+                                equilibrate_iters)
     return populate_solution(form, res.guess, res.status, res.iters, res.history,
                              raw_z=res.state.x)
 
 
 def _refine_solution(raw_inputs, problem, alg, form, res, refine, refine_kwargs,
-                     opts):
+                     opts, equilibrate=False, equilibrate_iters=10):
     """Post-solve f64 refinement sweep: continue the iteration at f64 from
     the f32 solution's raw iterate.
 
@@ -122,6 +126,13 @@ def _refine_solution(raw_inputs, problem, alg, form, res, refine, refine_kwargs,
     iterations because the start point is already residual ~1e-5.  This is
     the TPU-native answer to the reference's all-f64 operating points
     (testDRandGAPA.jl:44-49, eps down to 1e-9).
+
+    ``form64`` is rebuilt with the SAME ``equilibrate`` setting as the f32
+    solve: the warm-start iterate ``res.state.x`` lives in the Ruiz-scaled
+    coordinate space, and Ruiz is deterministic in (A, b, c), so the f64
+    rebuild lands in (fp-identical) scaled coordinates.  Rebuilding from the
+    unscaled data would seed the f64 sweep in the wrong coordinates and
+    stall it.
     """
     import jax
 
@@ -142,6 +153,8 @@ def _refine_solution(raw_inputs, problem, alg, form, res, refine, refine_kwargs,
         cg_max_iters=int(rk.pop("cg_max_iters", 1000)),
         psd_method=str(rk.pop("psd_method", "auto")),
         compensated=False,
+        equilibrate=equilibrate,
+        equilibrate_iters=equilibrate_iters,
     )
     run_opts = {k: v for k, v in opts.items()
                 if k in ("eps", "checki", "verbose", "debug")}

@@ -71,7 +71,12 @@ def solve_conic_data(data: Dict, dims: Any = None, alg=None,
     ``{"x", "y", "s", "info": {"status", "pobj", "iter"}}``."""
     from fos_tpu.interface.conic import solve_scs
 
-    cone = _dims_to_cone_dict(data.get("dims", dims))
+    dims_in = data.get("dims", dims)
+    if dims_in is None:
+        raise TypeError(
+            "solve_conic_data needs cone dims: pass dims= or include "
+            "data['dims'] (an SCS-style dict or a CVXPY ConeDims object)")
+    cone = _dims_to_cone_dict(dims_in)
     sol = solve_scs({"A": data["A"], "b": data["b"], "c": data["c"]}, cone,
                     alg=alg, **options)
     return {

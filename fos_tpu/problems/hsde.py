@@ -154,12 +154,18 @@ class HSDEForm:
         # tiles with a Pallas ELL SpMV (linalg/sparse_ell.py) when the tile
         # occupancy makes it profitable ("auto": stored tiles < 50% of the
         # dense grid); "bell" forces it, "bcoo" keeps gather-based BCOO.
-        if (hasattr(A, "indices") and sparse_format in ("auto", "bell")
-                and jnp.dtype(b.dtype) == jnp.float32):  # the kernel is f32
-            from fos_tpu.linalg.sparse_ell import BlockedEllOp, bell_storage_ratio
+        if hasattr(A, "indices") and sparse_format in ("auto", "bell"):
+            if jnp.dtype(b.dtype) == jnp.float32:  # the kernel is f32
+                from fos_tpu.linalg.sparse_ell import (BlockedEllOp,
+                                                       bell_storage_ratio)
 
-            if sparse_format == "bell" or bell_storage_ratio(A) < 0.5:
-                A = BlockedEllOp.create(A)
+                if sparse_format == "bell" or bell_storage_ratio(A) < 0.5:
+                    A = BlockedEllOp.create(A)
+            elif sparse_format == "bell":
+                raise ValueError(
+                    "sparse_format='bell' requires f32 problem data (the "
+                    "Pallas blocked-ELL kernel is f32-only); cast with "
+                    "dtype=jnp.float32 or use sparse_format='bcoo'")
         # NOTE on pallas: measured on TPU v5e, XLA already fuses the
         # (A@z1, A'@z2) pair of the Q matvec into a single HBM pass at the
         # practical bandwidth ceiling (pair ~= single matvec cost), so the

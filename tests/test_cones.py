@@ -347,3 +347,15 @@ def test_psd_project_derivative_degenerate(rng):
     assert not np.isfinite(np.asarray(dz_stock)).all()
     _, dz = jax.jvp(psd_project_eigh, (Z,), (E,))
     assert np.isfinite(np.asarray(dz)).all()
+
+
+def test_pow_blocks_require_params():
+    """Direct make_projector with POW blocks and no params must raise, not
+    silently project the slices as FREE (ADVICE r2)."""
+    import pytest
+
+    from fos_tpu.cones.project import make_projector
+    from fos_tpu.cones.spec import Cone
+
+    with pytest.raises(ValueError, match="power-cone"):
+        make_projector(((Cone.NONNEG, 2), (Cone.POW_PRIMAL, 3)))

@@ -58,6 +58,43 @@ def test_equilibrated_solve_matches_scipy(seed):
     assert ((A @ x - b) / (1 + np.abs(b))).max() < 1e-4
 
 
+def test_refine_with_equilibrate_seeds_scaled_coordinates():
+    """refine= continues from the f32 iterate, which lives in the
+    Ruiz-SCALED space; the f64 rebuild must re-equilibrate so the warm
+    start lands in the same coordinates (ADVICE r2: previously the f64
+    form was built unscaled and the sweep could stall/regress)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    A, b, c = _badly_scaled_lp(rng)
+    ref = linprog(c, A_ub=A, b_ub=b, bounds=(0, None), method="highs")
+    assert ref.status == 0
+    base = solve(A, b, c, nonneg(15), nonneg(25), alg=DR(), eps=1e-6,
+                 max_iters=60000, verbose=0, equilibrate=True,
+                 dtype=jnp.float32)
+    assert base.status == "Optimal"
+    sol = solve(A, b, c, nonneg(15), nonneg(25), alg=DR(), eps=1e-6,
+                max_iters=60000, verbose=0, equilibrate=True,
+                dtype=jnp.float32, refine=30000,
+                refine_kwargs={"eps": 1e-9})
+    assert sol.status == "Optimal"
+    err_base = abs(float(np.asarray(base.x) @ c) - ref.fun)
+    err_ref = abs(float(np.asarray(sol.x) @ c) - ref.fun)
+    # a correctly seeded f64 sweep tightens the objective, never regresses
+    # (measured: 1.6e-5 -> 1.6e-6 relative; wrong-coordinate seeding stalls)
+    assert err_ref <= err_base * 0.5
+    assert err_ref <= 5e-6 * (1 + abs(ref.fun))
+
+
+def test_equilibrate_iters_forwarded(rng):
+    """equilibrate_iters= must reach the Ruiz loop (was silently dropped)."""
+    A, b, c = _badly_scaled_lp(rng)
+    sol = solve(A, b, c, nonneg(15), nonneg(25), alg=DR(), eps=1e-6,
+                max_iters=20000, verbose=0, equilibrate=True,
+                equilibrate_iters=2)
+    assert sol.status == "Optimal"
+
+
 def test_equilibration_helps(rng):
     # same budget, equilibrated run reaches a (much) better residual
     A, b, c = _badly_scaled_lp(rng)

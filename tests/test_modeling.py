@@ -181,3 +181,12 @@ def test_register_with_cvxpy_requires_cvxpy():
     prob = cp.Problem(cp.Minimize(cp.sum_squares(x - np.array([1.0, -2.0, 3.0]))))
     prob.solve(solver=name)
     assert prob.status == "optimal"
+
+
+def test_solve_conic_data_missing_dims_is_loud():
+    """No dims anywhere -> TypeError naming the missing argument, not an
+    opaque zero-cone failure downstream (ADVICE r2)."""
+    data = {"A": sp.csc_matrix(np.ones((1, 1))), "b": np.ones(1),
+            "c": np.ones(1)}
+    with pytest.raises(TypeError, match="dims"):
+        solve_conic_data(data)

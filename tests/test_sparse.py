@@ -152,3 +152,17 @@ def test_gap_stall_auto_recovery():
     sol64 = solve(A, b, c, nonneg(120), nonneg(200), alg=DR(), eps=1e-5,
                   verbose=0, densify=False, max_iters=20000)
     assert abs(sol.objval - sol64.objval) < 2e-3 * (1 + abs(sol64.objval))
+
+
+def test_bell_requires_f32_loudly():
+    """sparse_format='bell' under f64 data must raise, not silently fall
+    back to the slow BCOO path (ADVICE r2)."""
+    import pytest
+
+    A = _rand_sparse(32, 48, 0.05, seed=3)
+    rng = np.random.default_rng(0)
+    b = np.abs(A @ np.abs(rng.standard_normal(48)) + 0.1)
+    c = np.abs(rng.standard_normal(48))
+    with pytest.raises(ValueError, match="bell"):
+        solve(A, b, c, nonneg(32), nonneg(48), alg=DR(), verbose=0,
+              densify=False, sparse_format="bell", max_iters=10)
