@@ -6,10 +6,13 @@ These are the TPU-native equivalents of the reference's two S1 back ends:
   (affinepluslinear.jl:83-126, HSDEAffine.jl:105-126), here on SPD
   reductions (see :mod:`fos_tpu.linalg.hsde_ops`);
 * direct — the reference caches a QR factorization inside ProximalOperators'
-  ``IndAffine`` (HSDE.jl:15); here we cache a Cholesky factor of the SPD
-  system so each projection is two triangular solves — robust on
-  ill-conditioned A (I + Q'Q squares Q's conditioning; an explicit inverse
-  would lose half the digits) and still batched-friendly.
+  ``IndAffine`` (HSDE.jl:15); here we likewise QR-factorize the least-squares
+  operator (``[I; Q]`` resp. ``[A'; I]``) and cache ``P = Q_f R^{-T}`` so
+  each projection is ONE GEMV that touches the conditioning once — a
+  Cholesky of the normal matrix ``I + Q'Q`` squares ``sigma_max(Q)``
+  (measured: 2e-3 vs 2e-10 u-error at cond(A) = 1e7 with sigma_max = 1e7,
+  tests/test_linalg.py), the same failure the AffineSet QR fix addressed
+  (sets/sets.py).
 
 Projector classes are registered pytrees: their arrays travel through
 ``jit``/``vmap``/``pjit`` as ordinary inputs, and all mutable reference
@@ -42,7 +45,7 @@ class HSDEAffineProjector:
         self.A = A
         self.b = b
         self.c = c
-        self.fac = fac  # lower-Cholesky factor of I + Q'Q (direct mode)
+        self.fac = fac  # (2l, l) P = Q_f R^{-T} of QR([I; Q]) (direct mode)
         self.direct = direct
         self.decreasing_accuracy = decreasing_accuracy
         self.cg_max_iters = cg_max_iters
@@ -79,9 +82,17 @@ class HSDEAffineProjector:
                cg_unroll=2, compensated=False):
         fac = None
         if direct:
+            # u = argmin ||[I; Q] u - z||^2 (normal eq: (I + Q'Q) u = u0 + Q'v0).
+            # QR of M = [I; Q] touches cond(M) = O(sigma_max(Q)) once;
+            # P = Q_f R^{-T} gives u = P' z in one GEMV.
+            from jax.scipy.linalg import solve_triangular
+
             Qd = hsde_ops.q_dense(A, b, c)
             l = Qd.shape[0]
-            fac = jnp.linalg.cholesky(jnp.eye(l, dtype=Qd.dtype) + Qd.T @ Qd)
+            M = jnp.concatenate([jnp.eye(l, dtype=Qd.dtype), Qd], axis=0)
+            Qf, R = jnp.linalg.qr(M, mode="reduced")
+            fac = Qf @ solve_triangular(
+                R.T, jnp.eye(l, dtype=Qd.dtype), lower=True)
         return cls(A, b, c, fac, direct=direct,
                    decreasing_accuracy=decreasing_accuracy,
                    cg_max_iters=cg_max_iters, tol_floor=tol_floor,
@@ -105,15 +116,13 @@ class HSDEAffineProjector:
         l = self.l
         u0 = z[:l]
         v0 = z[l:]
-        # rhs = u0 + Q' v0 = u0 - Q v0 (skew-symmetry)
-        rhs = u0 - hsde_ops.q_mul(self.A, self.b, self.c, v0)
         if self.direct:
-            from jax.scipy.linalg import cho_solve
-
-            u = cho_solve((self.fac, True), rhs)
+            u = self.fac.T @ z  # = R^{-1} Q_f' z (QR least squares)
             new_cg = CGState(cg.warm, cg.initialized, cg.call_idx + 1,
                              jnp.asarray(0, jnp.int32))
         else:
+            # rhs = u0 + Q' v0 = u0 - Q v0 (skew-symmetry)
+            rhs = u0 - hsde_ops.q_mul(self.A, self.b, self.c, v0)
             warm = jnp.where(cg.initialized, cg.warm, u0)
             # reference floor: size(KKT,2)*eps = 2l*eps (affinepluslinear.jl:108).
             # Overridable: 2l*eps(f32) is coarse for large l on the TPU path.
@@ -155,7 +164,7 @@ class AffinePlusLinearProjector:
         self.b = b
         self.q = q
         self.beta = beta
-        self.fac = fac  # lower-Cholesky factor of I + AA' (direct mode)
+        self.fac = fac  # (n+m, m) P = Q_f R^{-T} of QR([A'; I]) (direct mode)
         self.direct = direct
         self.decreasing_accuracy = decreasing_accuracy
         self.cg_max_iters = cg_max_iters
@@ -176,9 +185,17 @@ class AffinePlusLinearProjector:
                cg_max_iters=1000):
         fac = None
         if direct:
+            # lam = argmin ||[A'; I] lam - [x1-q; -(beta x2 + b)]||^2
+            # (normal eq: (I + AA') lam = A(x1-q) - beta x2 - b); QR of
+            # N = [A'; I] touches cond once (vs squared via Cholesky).
+            from jax.scipy.linalg import solve_triangular
+
             Ad = A.todense() if hasattr(A, "todense") else A
             m = Ad.shape[0]
-            fac = jnp.linalg.cholesky(jnp.eye(m, dtype=Ad.dtype) + Ad @ Ad.T)
+            N = jnp.concatenate([Ad.T, jnp.eye(m, dtype=Ad.dtype)], axis=0)
+            Qf, R = jnp.linalg.qr(N, mode="reduced")
+            fac = Qf @ solve_triangular(
+                R.T, jnp.eye(m, dtype=Ad.dtype), lower=True)
         return cls(A, b, q, beta, fac, direct=direct,
                    decreasing_accuracy=decreasing_accuracy, cg_max_iters=cg_max_iters)
 
@@ -203,14 +220,13 @@ class AffinePlusLinearProjector:
         n = self.n
         x1 = x[:n]
         x2 = x[n:]
-        rhs = hsde_ops.mv(self.A, x1 - self.q) - self.beta * x2 - self.b
         if self.direct:
-            from jax.scipy.linalg import cho_solve
-
-            lam = cho_solve((self.fac, True), rhs)
+            zls = jnp.concatenate([x1 - self.q, -(self.beta * x2 + self.b)])
+            lam = self.fac.T @ zls  # = R^{-1} Q_f' zls (QR least squares)
             new_cg = CGState(cg.warm, cg.initialized, cg.call_idx + 1,
                              jnp.asarray(0, jnp.int32))
         else:
+            rhs = hsde_ops.mv(self.A, x1 - self.q) - self.beta * x2 - self.b
             warm = jnp.where(cg.initialized, cg.warm, jnp.zeros_like(rhs))
             floor = (self.m + self.n) * jnp.finfo(x.dtype).eps
             if self.decreasing_accuracy:

@@ -308,3 +308,45 @@ def test_affine_set_direct_ill_conditioned(rng):
     ystar = np.asarray(x) - np.linalg.pinv(A, rcond=1e-12) @ (A @ np.asarray(x) - b)
     assert np.linalg.norm(np.asarray(yd) - ystar) < 1e-7
     np.testing.assert_allclose(np.asarray(yd), np.asarray(yi), atol=1e-6)
+
+
+def test_direct_mode_qr_large_sigma_max(rng):
+    """VERDICT r2 item 4: direct mode must touch cond once, not squared.
+
+    With sigma_max(A) = 1e7 (cond 1e7), Cholesky of the normal matrix
+    I + Q'Q (cond ~ 1e14) erred ~1.3e-3 relative on u at both sites;
+    the QR([I; Q]) / QR([A'; I]) path measures 7e-11 / 1e-9."""
+    import jax.numpy as jnp
+    from fos_tpu.linalg import hsde_ops
+    from fos_tpu.linalg.affine import (AffinePlusLinearProjector,
+                                       HSDEAffineProjector)
+
+    m, n = 30, 20
+    U, _ = np.linalg.qr(rng.standard_normal((m, m)))
+    V, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    A = U[:, :n] @ np.diag(np.logspace(7, 0, n)) @ V.T
+    b = rng.standard_normal(m)
+    c = rng.standard_normal(n)
+    l = m + n + 1
+
+    pd = HSDEAffineProjector.create(jnp.asarray(A), jnp.asarray(b),
+                                    jnp.asarray(c), direct=True)
+    z = rng.standard_normal(2 * l)
+    y, _ = pd.project(jnp.asarray(z), pd.init_cg_state(jnp.float64))
+    Qd = np.asarray(hsde_ops.q_dense(jnp.asarray(A), jnp.asarray(b),
+                                     jnp.asarray(c)))
+    u_ref = np.linalg.lstsq(np.vstack([np.eye(l), Qd]), z, rcond=None)[0]
+    err = np.linalg.norm(np.asarray(y[:l]) - u_ref) / np.linalg.norm(u_ref)
+    assert err < 1e-8
+
+    q = rng.standard_normal(n)
+    for beta in (1, -1):
+        pp = AffinePlusLinearProjector.create(
+            jnp.asarray(A), jnp.asarray(b), jnp.asarray(q), beta, direct=True)
+        x = rng.standard_normal(n + m)
+        yp, _ = pp.project(jnp.asarray(x), pp.init_cg_state(jnp.float64))
+        zls = np.concatenate([x[:n] - q, -(beta * x[n:] + b)])
+        lam = np.linalg.lstsq(np.vstack([A.T, np.eye(m)]), zls, rcond=None)[0]
+        yref = np.concatenate([x[:n] - q - A.T @ lam, x[n:] + beta * lam])
+        err = np.linalg.norm(np.asarray(yp) - yref) / np.linalg.norm(yref)
+        assert err < 1e-7
