@@ -118,40 +118,42 @@ def fused_solve(alg, form, x0, *, max_iters: int = 10000, eps: float = 1e-5,
 
     Once an instance's status leaves :Continue its state freezes, so batched
     (vmapped) solves keep well-defined per-instance results while the lifted
-    while_loop runs until every instance terminates.
+    while_loop runs until every instance terminates.  History rows are only
+    written while the instance is still continuing, so a frozen instance's
+    history stops at its termination row instead of repeating final values.
 
-    The trailing ``max_iters % checki`` iterations of the chunked engine are
-    not run here (the final forced check happens on the solution guess, as
-    in solverwrapper.jl:32-34).
+    The trailing ``max_iters % checki`` iterations run as one partial chunk
+    after the full-chunk loop (the reference runs all max_iters,
+    solverwrapper.jl:20-41), followed by the forced final check on the
+    solution guess (solverwrapper.jl:32-34).
     """
     nchunks, rem = divmod(max_iters, checki)
-    if rem:
-        import warnings
-
-        warnings.warn(
-            f"fused_solve runs max_iters//checki full chunks; the trailing "
-            f"{rem} of max_iters={max_iters} iterations are skipped "
-            f"(checki={checki}). Use max_iters % checki == 0 for an exact "
-            f"budget.", stacklevel=2)
+    total_chunks = nchunks + (1 if rem else 0)
     st0 = init_solver_state(alg, form.sets, x0)
     chk0 = form.check(st0.z_check, eps, prev=st0.z_check_prev)
     nhist = len(tuple(chk0))
-    hist0 = jnp.zeros((nchunks, nhist), x0.dtype) if record_history else jnp.zeros((0, 0), x0.dtype)
+    hist0 = jnp.zeros((total_chunks, nhist), x0.dtype) if record_history else jnp.zeros((0, 0), x0.dtype)
 
-    def chunk_body(carry):
-        st, status, k, hist = carry
-        def body(_, s):
-            return alg.step(form.sets, s)
+    def body(_, s):
+        return alg.step(form.sets, s)
 
-        st_new = jax.lax.fori_loop(0, checki, body, st, unroll=unroll)
+    def run_chunk(st, status, k, hist, nsteps):
+        """One nsteps-iteration chunk + check, masked by the freeze flag."""
+        st_new = jax.lax.fori_loop(0, nsteps, body, st, unroll=unroll)
         chk = form.check(st_new.z_check, eps, prev=st_new.z_check_prev)
-        if record_history:
-            hist = hist.at[k].set(jnp.stack([v.astype(x0.dtype) for v in tuple(chk)]))
         # freeze once terminated (matters under vmap)
         cont = status == Status.CONTINUE
+        if record_history:
+            row = jnp.stack([v.astype(x0.dtype) for v in tuple(chk)])
+            hist = hist.at[k].set(jnp.where(cont, row, hist[k]))
         st = jax.tree_util.tree_map(
             lambda new, old: jnp.where(cont, new, old), st_new, st)
         status = jnp.where(cont, chk.status, status)
+        return st, status, hist
+
+    def chunk_body(carry):
+        st, status, k, hist = carry
+        st, status, hist = run_chunk(st, status, k, hist, checki)
         return st, status, k + 1, hist
 
     def chunk_cond(carry):
@@ -162,6 +164,10 @@ def fused_solve(alg, form, x0, *, max_iters: int = 10000, eps: float = 1e-5,
         chunk_cond, chunk_body,
         (st0, jnp.asarray(Status.CONTINUE, jnp.int32), jnp.asarray(0, jnp.int32), hist0),
     )
+    if rem:
+        # exact budget: the trailing max_iters % checki iterations (masked
+        # out per-instance if already terminated)
+        st, status, hist = run_chunk(st, status, nchunks, hist, rem)
     guess, st = alg.getsol(form.sets, st)
     chk = form.check(guess, eps, prev=st.z_check)
     status = jnp.where(status == Status.CONTINUE, chk.status, status)

@@ -59,6 +59,35 @@ def test_fused_matches_chunked(rng):
     assert int(res.iters) == sol.iters
 
 
+def test_fused_budget_exact_and_history_gated(rng):
+    """VERDICT r2 item 6: fused_solve must run the trailing
+    max_iters % checki iterations (reference runs all max_iters,
+    solverwrapper.jl:20-41) and must stop writing history rows once an
+    instance terminates."""
+    A, b, c = _lp_batch(rng, B=1)
+    A, b, c = A[0], b[0], c[0]
+    m, n = A.shape
+    prob = conic_problem(jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
+                         nonneg(m), nonneg(n))
+    form = HSDEForm.build(prob)
+    # unreachable eps: both engines must spend the exact 250-iteration budget
+    from fos_tpu.solvers import engine
+    res_f = fused_solve(DR(), form, form.initial_value(form.dtype),
+                        max_iters=250, eps=1e-30, checki=100)
+    res_c = engine.run(form, DR(), max_iters=250, eps=1e-30, checki=100,
+                       verbose=0)
+    assert int(res_f.iters) == 250 == res_c.iters
+    # history gating: rows after the termination row stay zero
+    res = fused_solve(DR(), form, form.initial_value(form.dtype),
+                      max_iters=10000, eps=1e-7, checki=100,
+                      record_history=True)
+    assert int(res.status) == Status.OPTIMAL
+    kterm = int(res.iters) // 100 - 1   # 0-based chunk of the termination row
+    hist = np.asarray(res.hist)
+    assert np.any(hist[kterm] != 0)
+    assert np.all(hist[kterm + 1:] == 0)
+
+
 def test_batched_solve(rng):
     A, b, c = _lp_batch(rng, B=4)
     m, n = A.shape[1:]
