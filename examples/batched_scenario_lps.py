@@ -7,9 +7,6 @@ batch axis sharded over the devices.  On CPU this runs on the virtual
 """
 
 import os
-import sys
-
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:

@@ -6,10 +6,6 @@ envelope theorem in action, d(c'x*)/dc = x*, verified numerically, plus a
 gradient step that provably lowers the achievable optimum.
 """
 
-import os
-import sys
-
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 

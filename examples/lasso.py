@@ -5,9 +5,6 @@ x = xp - xm with xp, xm >= 0, epigraph t >= ||Ax - b||^2 via rotated SOC.
 """
 
 import os
-import sys
-
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 

@@ -8,9 +8,6 @@ Youla example three ways in the same spirit, examples/youla.jl):
 """
 
 import os
-import sys
-
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 

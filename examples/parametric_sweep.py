@@ -8,10 +8,6 @@ cutting iterations ~5x along the path (GAPA; plain DR gains much less
 because its slow linear rate, not the initial distance, dominates).
 """
 
-import os
-import sys
-
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 

@@ -5,9 +5,6 @@ gamma*(t) - mu'w with ||(F'w, sqrt(d)*w)||^2 <= t (rotated SOC epigraph).
 """
 
 import os
-import sys
-
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 

@@ -8,9 +8,6 @@ SLSQP.  This is the reference's Convex.jl workflow
 """
 
 import os
-import sys
-
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 

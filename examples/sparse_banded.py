@@ -10,10 +10,6 @@ Run: python examples/sparse_banded.py  (CPU-safe; kernel runs in interpret
 mode off-TPU)
 """
 
-import os
-import sys
-
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 import scipy.sparse as sp

@@ -16,9 +16,6 @@ matrices by hand and solves them through the conic HSDE path.
 """
 
 import os
-import sys
-
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
