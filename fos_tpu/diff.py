@@ -21,12 +21,22 @@ operator, cf. jaxopt/diffcp):
   ``lax.custom_linear_solve``);
 * data gradients: ``(Abar, bbar, cbar) = vjp_theta(T)(w)``.
 
-Supported algorithms: the GAP family (GAP / DR / AP) and GAPA.  Gradients
-depend only on the fixed-point MAP, not on the path the solver took to
-reach it (the diffcp principle), so GAPA is differentiated through the
+Supported algorithms: the GAP family (GAP / DR / AP) and GAPA, plain or
+under any wrapper (LineSearch / Longstep / Anderson).  Gradients depend
+only on the fixed-point MAP, not on the path the solver took to reach it
+(the diffcp principle), so GAPA is differentiated through the
 frozen-coefficient map ``T_{a12}`` with ``a12`` = the converged adaptive
 relaxation read from the final solver state — by then the Friedrichs-angle
 estimate has stabilized and ``z*`` is a fixed point of that frozen map.
+Wrappers preserve the inner map's fixed-point set (at ``T(x) = x`` the
+line search finds zero residual, the Anderson mixer returns the point
+itself, and the longstep planes contain the point), so a wrapped solve is
+differentiated through the INNER algorithm's frozen map.
+
+``A`` may be dense or ``BCOO`` sparse: every data-touching op in the
+frozen map (``q_mul`` / ``hsde_normal_mul``) is BCOO-differentiable, and
+the returned ``Abar`` cotangent is a BCOO on the same sparsity pattern
+(gradients w.r.t. stored nonzeros — the diffcp convention).
 The recovered solution ``(x, y, s) = (u_x, u_y, v_s)/tau`` and any
 downstream scalar are ordinary differentiable jnp ops of ``z*``.
 
@@ -53,6 +63,13 @@ from fos_tpu.cones.spec import ConeSpec
 from fos_tpu.linalg import hsde_ops
 from fos_tpu.problems.hsde import hsde_cone_spec
 from fos_tpu.solvers.base import GAP, GAPA
+
+
+def _unwrap(alg):
+    """Innermost algorithm of a wrapper chain (wrappers carry ``.alg``)."""
+    while getattr(alg, "alg", None) is not None:
+        alg = alg.alg
+    return alg
 
 
 def _diff_step(coeffs, spec: ConeSpec, psd_method: str, cg_tol: float,
@@ -102,12 +119,12 @@ def _forward(A, b, c, alg, static, opts):
                       max_iters=opts.get("max_iters", 10000),
                       eps=opts.get("eps", 1e-8),
                       checki=opts.get("checki", 100))
-    a1, a2 = alg.coeffs(res.state.aux)
+    a1, a2 = alg.coeffs(res.state.aux)  # wrappers delegate to the inner alg
     # the converged coefficients are CONSTANTS of the frozen map: cut any
     # data dependence the adaptive carry picked up along the solve path
     a1 = jax.lax.stop_gradient(a1)
     a2 = jax.lax.stop_gradient(a2)
-    return res.state.x, (alg.alpha, a1, a2)
+    return res.state.x, (_unwrap(alg).alpha, a1, a2)
 
 
 def _fixed_point_fwd(A, b, c, alg, static, opts):
@@ -238,14 +255,19 @@ def diff_solve(A, b, c, K1: ConeSpec, K2: ConeSpec, alg: GAP = None,
     ``jax.jacrev``; ``mode="jvp"`` supports ``jax.jvp`` / ``jax.jacfwd``
     (parameter sensitivities — many outputs, few inputs).
 
-    Restrictions: GAP-family (GAP/DR/AP) or GAPA (differentiated through
-    the frozen converged-coefficient map), dense A, and a solve that
-    actually reaches its fixed point (gradients of an unconverged iterate
-    are not meaningful).
+    ``A`` may be dense or BCOO sparse (gradients w.r.t. the stored
+    nonzeros).  The algorithm may be GAP-family (GAP/DR/AP) or GAPA, plain
+    or wrapped (LineSearch/Longstep/Anderson — all preserve the inner
+    fixed-point set, so the frozen inner map is differentiated).
+    Restriction: the solve must actually reach its fixed point (gradients
+    of an unconverged iterate are not meaningful).
     """
     alg = alg if alg is not None else GAP(0.5, 2.0, 2.0)  # DR
-    if not isinstance(alg, (GAP, GAPA)):
-        raise ValueError("diff_solve supports GAP/DR/AP and GAPA")
+    if not isinstance(_unwrap(alg), (GAP, GAPA)):
+        raise ValueError(
+            "diff_solve supports GAP/DR/AP and GAPA (optionally under "
+            "LineSearch/Longstep/Anderson wrappers); got "
+            f"{type(_unwrap(alg)).__name__}")
     if mode not in ("vjp", "jvp"):
         raise ValueError(f"mode must be 'vjp' or 'jvp', got {mode!r}")
     fp = _fixed_point if mode == "vjp" else _fixed_point_j

@@ -280,3 +280,77 @@ def test_sdp_gradient_lambda_min(rng):
     np.testing.assert_allclose(np.asarray(g),
                                np.asarray(svec(jnp.asarray(np.outer(v, v)))),
                                atol=5e-5)
+
+
+def test_sparse_bcoo_grads_match_dense(rng):
+    """VERDICT r2 item 9: sparse (BCOO) A must be differentiable — grads
+    w.r.t. b, c, and the stored nonzeros agree with the dense path and the
+    envelope oracle."""
+    from jax.experimental.sparse import BCOO
+
+    A, b, c, x0, y0 = _lp(rng)
+    m, n = A.shape
+    K1, K2 = nonneg(m), nonneg(n)
+    Asp = BCOO.fromdense(A)  # full pattern: every dense entry is stored
+
+    def objval_dense(A_, b_, c_):
+        x, y, s = diff_solve(A_, b_, c_, K1, K2, alg=DR(), eps=1e-10,
+                             max_iters=40000)
+        return jnp.vdot(c_, x)
+
+    def objval_sparse(data, b_, c_):
+        x, y, s = diff_solve(BCOO((data, Asp.indices), shape=Asp.shape),
+                             b_, c_, K1, K2, alg=DR(), eps=1e-10,
+                             max_iters=40000)
+        return jnp.vdot(c_, x)
+
+    gA, gb, gc = jax.grad(objval_dense, argnums=(0, 1, 2))(A, b, c)
+    gd, gbs, gcs = jax.grad(objval_sparse, argnums=(0, 1, 2))(
+        Asp.data, b, c)
+    np.testing.assert_allclose(np.asarray(gbs), np.asarray(gb), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gcs), np.asarray(gc), atol=1e-6)
+    # nonzero gradients = dense gradient gathered at the pattern
+    idx = np.asarray(Asp.indices)
+    np.testing.assert_allclose(np.asarray(gd),
+                               np.asarray(gA)[idx[:, 0], idx[:, 1]],
+                               atol=1e-6)
+    # envelope oracle on the sparse path
+    x, y, s = diff_solve(Asp, b, c, K1, K2, alg=DR(), eps=1e-10,
+                         max_iters=40000)
+    np.testing.assert_allclose(np.asarray(gcs), np.asarray(x), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(gbs), -np.asarray(y), atol=5e-5)
+
+
+def test_wrapped_algorithm_grads(rng):
+    """Wrapped algorithms (LineSearch / Anderson over DR) reach the same
+    fixed point, so diff_solve must return the same gradients as plain DR
+    (differentiated through the frozen inner map)."""
+    from fos_tpu.solvers.wrappers import AndersonWrapper, LineSearchWrapper
+
+    A, b, c, x0, y0 = _lp(rng)
+    m, n = A.shape
+    K1, K2 = nonneg(m), nonneg(n)
+
+    def objval(alg):
+        def f(b_):
+            x, y, s = diff_solve(A, b_, c, K1, K2, alg=alg, eps=1e-10,
+                                 max_iters=40000)
+            return jnp.vdot(c, x)
+        return jax.grad(f)(b)
+
+    g_plain = objval(DR())
+    g_ls = objval(LineSearchWrapper(alg=DR()))
+    g_aa = objval(AndersonWrapper(alg=DR()))
+    np.testing.assert_allclose(np.asarray(g_ls), np.asarray(g_plain),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_aa), np.asarray(g_plain),
+                               atol=1e-6)
+
+
+def test_diff_unsupported_algorithm_is_loud(rng):
+    from fos_tpu.solvers.base import Dykstra
+
+    A, b, c, x0, y0 = _lp(rng)
+    m, n = A.shape
+    with pytest.raises(ValueError, match="Dykstra"):
+        diff_solve(A, b, c, nonneg(m), nonneg(n), alg=Dykstra())
