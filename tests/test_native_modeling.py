@@ -223,3 +223,69 @@ def test_expr_matmul_constant(rng):
     ref = float(w1 @ (E0 @ C2) @ w2 + w3 @ (E0 @ c1))
     assert prob.status == "Optimal"
     assert abs(prob.value - ref) < 1e-6 * (1 + abs(ref))
+
+
+def test_sparse_lowering_scales():
+    """VERDICT r2 item 3: a 10^5-dim lasso and a 256x256 matrix-variable
+    SDP must lower in about a second without densifying (the r2 dense
+    lowering needed a 200k x 200k dense A — 320 GB)."""
+    import time
+
+    import scipy.sparse as sp
+
+    from fos_tpu.modeling import Variable as V, trace
+
+    rng = np.random.default_rng(0)
+    n, m = 100_000, 100
+    A = rng.standard_normal((m, n))
+    bb = rng.standard_normal(m)
+    x = V(n)
+    t = V(n)
+    prob = Problem(minimize(sum_squares(A @ x - bb) + 0.1 * t.sum()),
+                   [x <= t, -x <= t])
+    t0 = time.time()
+    data, cone, *_ = prob.compile()
+    dt = time.time() - t0
+    assert sp.issparse(data["A"])
+    assert data["A"].shape == (2 * n + m + 2, 2 * n + 1)
+    assert dt < 5.0, f"lasso lowering took {dt:.1f}s"
+
+    nn = 256
+    C = rng.standard_normal((nn, nn))
+    C = (C + C.T) / 2
+    X = V((nn, nn), symmetric=True)
+    prob2 = Problem(minimize(trace(C @ X)), [X >> 0, trace(X) == 1])
+    t0 = time.time()
+    d2, c2, *_ = prob2.compile()
+    dt = time.time() - t0
+    assert sp.issparse(d2["A"])
+    assert c2["s"] == [nn]
+    assert dt < 5.0, f"SDP lowering took {dt:.1f}s"
+
+
+def test_sparse_emitted_A_solves(rng, monkeypatch):
+    """With the densify threshold forced to zero the emitted A stays
+    scipy-CSR end to end; the solve must match the dense-path answer."""
+    import fos_tpu.modeling as modeling
+
+    n, m = 40, 15
+    A = rng.standard_normal((m, n))
+    bb = A @ (np.abs(rng.standard_normal(n))) + np.abs(rng.standard_normal(m))
+    cc = np.abs(rng.standard_normal(n)) + 0.1
+
+    def build():
+        x = modeling.Variable(n)
+        prob = Problem(minimize(cc @ x), [A @ x <= bb, x >= 0])
+        prob.solve(eps=1e-8, max_iters=20000, verbose=0)
+        return prob
+
+    dense_prob = build()
+    monkeypatch.setattr(modeling, "_DENSIFY_CELLS", 0)
+    sparse_prob = build()
+    data, *_ = sparse_prob.compile()
+    import scipy.sparse as sp
+
+    assert sp.issparse(data["A"])
+    assert dense_prob.status == sparse_prob.status == "Optimal"
+    np.testing.assert_allclose(sparse_prob.value, dense_prob.value,
+                               rtol=1e-6, atol=1e-6)
