@@ -39,6 +39,12 @@ class HSDEAffineProjector:
     direct ``IndAffine([Q -I])`` path (HSDE.jl:15).
     """
 
+    #: the projection map is affine in z (line-search probe cache,
+    #: wrappers.py); the HSDE set {(u, v): Qu = v} is a SUBSPACE, so the
+    #: map is linear (no constant term)
+    projection_is_affine = True
+    projection_offset_free = True
+
     def __init__(self, A, b, c, fac=None, *, direct=False, decreasing_accuracy=True,
                  cg_max_iters=1000, tol_floor=None, cg_variant="standard",
                  cg_unroll=2, compensated=False):
@@ -156,6 +162,10 @@ class AffinePlusLinearProjector:
     the m x m SPD system ``(I + AA') lam = A(x1 - q) - beta*x2 - b`` with
     ``y1 = x1 - q - A'lam`` and ``y2 = x2 + beta*lam``.
     """
+
+    #: affine projection map (offset from b and q) — probe cache eligible
+    projection_is_affine = True
+    projection_offset_free = False
 
     def __init__(self, A, b, q, beta: int, fac=None, *, direct=False,
                  decreasing_accuracy=False, cg_max_iters=1000):

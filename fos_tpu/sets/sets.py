@@ -34,6 +34,9 @@ class AffineSet(_StatelessSet):
     ``(AA') mu = Ax - b`` by warm-started CG.
     """
 
+    projection_is_affine = True       # probe-cache eligible (wrappers.py)
+    projection_offset_free = False    # offset b
+
     def __init__(self, A, b, P=None, *, direct=True, cg_max_iters=1000):
         self.A = A
         self.b = b

@@ -71,14 +71,36 @@ class LineSearchWrapper(Algorithm):
             alphas = 0.1 * 1.8 ** jnp.arange(1, 32, dtype=st.x.dtype)
             cands = x_prev[None, :] + alphas[:, None] * res[None, :]
 
-            def T(xc):
-                # NoStatus probes (linesearch.jl:58-63): warm-start state is
-                # shared read-only across candidates and then discarded.
-                y1, _ = inner.relaxed_s1(sets, xc, s1_state, st.aux)
-                _, xc2, _ = inner.relaxed_s2(sets, y1, s2_state, st.aux)
-                return xc2
+            if getattr(sets.s1, "projection_is_affine", False):
+                # gap.jl:42-51 constinit role: the relaxed S1 map is AFFINE,
+                # so the 31 probe S1 projections collapse to 1-2 evaluations:
+                # relaxed_s1(x + a*res) = relaxed_s1(x) + a*(relaxed_s1(res)
+                # - relaxed_s1(0)), and relaxed_s1(x) = tmp2 is already in
+                # hand from the real step.  Offset-free sets (the HSDE
+                # subspace) skip the zero term entirely.
+                s1_res, _ = inner.relaxed_s1(sets, res, s1_state, st.aux)
+                if getattr(sets.s1, "projection_offset_free", False):
+                    dirn = s1_res
+                else:
+                    s1_zero, _ = inner.relaxed_s1(
+                        sets, jnp.zeros_like(res), s1_state, st.aux)
+                    dirn = s1_res - s1_zero
+                y1_cands = tmp2[None, :] + alphas[:, None] * dirn[None, :]
 
-            Tx = jax.vmap(T)(cands)
+                def T2(y1c):
+                    _, xc2, _ = inner.relaxed_s2(sets, y1c, s2_state, st.aux)
+                    return xc2
+
+                Tx = jax.vmap(T2)(y1_cands)
+            else:
+                def T(xc):
+                    # NoStatus probes (linesearch.jl:58-63): warm-start state
+                    # is shared read-only across candidates then discarded.
+                    y1, _ = inner.relaxed_s1(sets, xc, s1_state, st.aux)
+                    _, xc2, _ = inner.relaxed_s2(sets, y1, s2_state, st.aux)
+                    return xc2
+
+                Tx = jax.vmap(T)(cands)
             testres = jnp.linalg.norm(Tx - cands, axis=-1)
             abest = alphas[jnp.argmin(testres)]
             x_ls = x_prev + abest * res

@@ -224,3 +224,50 @@ def test_anderson_adaptive_no_easy_regression(rng):
                eps=1e-6, verbose=0, max_iters=40000)
     assert plain.status == aa.status == "Optimal"
     assert aa.iters <= max(plain.iters * 1.2, plain.iters + 200)
+
+
+def test_linesearch_probe_cache_affine_identity(rng):
+    """The probe cache (gap.jl constinit role) relies on the relaxed S1 map
+    being affine: relaxed_s1(x + a*res) == relaxed_s1(x) + a*(relaxed_s1(res)
+    - relaxed_s1(0)).  Exact in direct mode for both projector families."""
+    import jax.numpy as jnp
+
+    from fos_tpu.linalg.affine import (AffinePlusLinearProjector,
+                                       HSDEAffineProjector)
+
+    m, n = 12, 20
+    A = rng.standard_normal((m, n))
+    b = rng.standard_normal(m)
+    c = rng.standard_normal(n)
+
+    # HSDE subspace: offset-free
+    p = HSDEAffineProjector.create(jnp.asarray(A), jnp.asarray(b),
+                                   jnp.asarray(c), direct=True)
+    assert p.projection_is_affine and p.projection_offset_free
+    st = p.init_cg_state(jnp.float64)
+    z = jnp.asarray(rng.standard_normal(2 * p.l))
+    r = jnp.asarray(rng.standard_normal(2 * p.l))
+    pz, _ = p.project(z, st)
+    pr, _ = p.project(r, st)
+    p0, _ = p.project(jnp.zeros_like(z), st)
+    np.testing.assert_allclose(np.asarray(p0), 0.0, atol=1e-12)
+    for a in (0.1, 1.0, 5.8):
+        full, _ = p.project(z + a * r, st)
+        np.testing.assert_allclose(np.asarray(full), np.asarray(pz + a * pr),
+                                   atol=1e-9)
+
+    # AffinePlusLinear: affine with offset
+    q = rng.standard_normal(n)
+    ap = AffinePlusLinearProjector.create(jnp.asarray(A), jnp.asarray(b),
+                                          jnp.asarray(q), 1, direct=True)
+    assert ap.projection_is_affine and not ap.projection_offset_free
+    st2 = ap.init_cg_state(jnp.float64)
+    x = jnp.asarray(rng.standard_normal(n + m))
+    r2 = jnp.asarray(rng.standard_normal(n + m))
+    px, _ = ap.project(x, st2)
+    pr2, _ = ap.project(r2, st2)
+    p02, _ = ap.project(jnp.zeros_like(x), st2)
+    for a in (0.1, 1.0, 5.8):
+        full, _ = ap.project(x + a * r2, st2)
+        np.testing.assert_allclose(
+            np.asarray(full), np.asarray(px + a * (pr2 - p02)), atol=1e-9)
