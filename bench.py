@@ -156,6 +156,60 @@ def _banded_bell_problem(nrb=256, seed=17):
     return op, b, c, float(jnp.vdot(c, x0)), nnz
 
 
+def sdp_batched_bench(alg=None, Bs=64, d=64, bench_iters=300,
+                      quality_iters=4000, eps=1e-5):
+    """Batched lambda-min SDP family: ``min tr(C_i X), tr(X) = 1, X >> 0``
+    for B random symmetric C_i with d x d PSD blocks — the PSD projection
+    (batched eigh / poly filter) is the pacing kernel of the SDP path
+    (SURVEY.md §7 hard parts; reference contract testPSD.jl:1-26).
+    Oracle: host f64 ``eigvalsh`` (pobj_i = lambda_min(C_i))."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from fos_tpu import DR
+    from fos_tpu.cones import ConeSpec, free as _free
+    from fos_tpu.cones.project import svec as _svec
+    from fos_tpu.cones.spec import Cone
+    from fos_tpu.parallel.batched import build_batched_form, solve_batched
+
+    alg = alg if alg is not None else DR()
+    L = d * (d + 1) // 2
+    kc = jax.random.PRNGKey(29)
+    Cb = jax.random.normal(kc, (Bs, d, d), jnp.float32) / float(np.sqrt(d))
+    Cb = (Cb + jnp.swapaxes(Cb, -1, -2)) / 2
+    sC = jax.vmap(lambda Ci: _svec(Ci, scaled=True))(Cb)       # (Bs, L)
+    sI = _svec(jnp.eye(d, dtype=jnp.float32), scaled=True)
+    A_base = jnp.concatenate([sI[None, :],
+                              -jnp.eye(L, dtype=jnp.float32)], axis=0)
+    A_sdp = jnp.broadcast_to(A_base, (Bs, 1 + L, L))
+    b_sdp = jnp.zeros((Bs, 1 + L), jnp.float32).at[:, 0].set(1.0)
+    K1sdp = ConeSpec(((Cone.ZERO, 1), (Cone.PSD, L)))
+    form_sdp = build_batched_form(A_sdp, b_sdp, sC, K1sdp, _free(L))
+    rsdp = solve_batched(alg, form_sdp, max_iters=bench_iters, eps=0.0,
+                         checki=100, unroll=2)
+    float(jnp.sum(rsdp.guess))
+    t0 = time.perf_counter()
+    rsdp = solve_batched(alg, form_sdp, max_iters=bench_iters, eps=0.0,
+                         checki=100, unroll=2)
+    float(jnp.sum(rsdp.guess))
+    sdp_iters_per_s = Bs * bench_iters / (time.perf_counter() - t0)
+    # quality: budgeted eps solve vs the host-f64 eigendecomposition
+    rq = solve_batched(alg, form_sdp, max_iters=quality_iters, eps=eps,
+                       checki=100, unroll=2)
+    lsdp = (1 + L) + L + 1
+    tau_s = rq.guess[:, lsdp - 1]
+    obj = jnp.einsum("bl,bl->b", sC, rq.guess[:, :L]) / tau_s
+    lam_min = np.linalg.eigvalsh(np.asarray(Cb, np.float64))[:, 0]
+    err = float(np.max(np.abs(np.asarray(obj) - lam_min)
+                       / (1 + np.abs(lam_min))))
+    return {
+        "agg_iters_per_s": round(sdp_iters_per_s, 1),
+        "eps1e-5_optimal_frac": float(np.mean(np.asarray(rq.status) == 1)),
+        "max_rel_obj_err_vs_eigh": round(err, 6),
+    }
+
+
 def tpu_bench():
     os.environ["FOS_TPU_X64"] = "1"  # refine (f64 continuation) needs x64;
     # all main-path arrays below are explicit f32
@@ -251,6 +305,10 @@ def tpu_bench():
     rb = solve_batched(alg, form3, max_iters=300, eps=0.0, checki=100, unroll=4)
     float(jnp.sum(rb.guess))
     batched_iters_per_s = B * 300 / (time.perf_counter() - t0)
+
+    # batched SDP (VERDICT r2 item 8)
+    print("batched sdp...", file=sys.stderr)
+    sdp_stats = sdp_batched_bench(alg)
 
     # objective parity vs the f64 path (VERDICT r1 item 1): chunked f32
     # solve at eps=1e-5, then the f64 continuation (refine) at the same eps.
@@ -358,6 +416,7 @@ def tpu_bench():
                 "obj_certificate": opt_sp,
             },
             "sparse_5pct_bell_vs_dense_time_ratio": round(sparse5_ratio, 2),
+            "sdp_batched_64x(64x64psd)": sdp_stats,
             "device": str(jax.devices()[0]),
         },
     }))

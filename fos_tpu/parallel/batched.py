@@ -34,13 +34,23 @@ def build_batched_form(A, b, c, K1: ConeSpec, K2: ConeSpec, *, direct=False,
     if K1.dim != m or K2.dim != n:
         raise ValueError("cone specs must cover (m, n)")
     if direct:
-        # batched dense inverses: (B, l, l)
+        # batched QR least-squares maps (B, 2l, l) — same construction as
+        # HSDEAffineProjector.create (QR touches the conditioning once; a
+        # Cholesky of I + Q'Q squares sigma_max, see linalg/affine.py)
+        from jax.scipy.linalg import solve_triangular
+
         from fos_tpu.linalg import hsde_ops
 
         Qd = jax.vmap(hsde_ops.q_dense)(A, b, c)
         l = Qd.shape[-1]
-        fac = jnp.linalg.cholesky(jnp.eye(l, dtype=Qd.dtype)[None] + jnp.einsum(
-            "bij,bik->bjk", Qd, Qd))
+
+        def _qr_fac(Qi):
+            Mi = jnp.concatenate([jnp.eye(l, dtype=Qi.dtype), Qi], axis=0)
+            Qf, R = jnp.linalg.qr(Mi, mode="reduced")
+            return Qf @ solve_triangular(R.T, jnp.eye(l, dtype=Qi.dtype),
+                                         lower=True)
+
+        fac = jax.vmap(_qr_fac)(Qd)
         s1 = HSDEAffineProjector(A, b, c, fac, direct=True,
                                  decreasing_accuracy=False,
                                  cg_max_iters=cg_max_iters)

@@ -278,3 +278,29 @@ def test_2d_sharded_equals_row_sharded(rng):
     x1 = np.asarray(res1.guess[:n] / res1.guess[l - 1])
     x2 = np.asarray(res2.guess[:n] / res2.guess[l - 1])
     assert abs(float(c @ x1) - float(c @ x2)) <= 1e-5 * (1 + abs(float(c @ x1)))
+
+
+def test_batched_direct_matches_indirect():
+    """build_batched_form(direct=True) uses batched QR least-squares maps
+    (same conditioning-safe construction as the single-problem projector)."""
+    A, b, c = _lp_batch(np.random.default_rng(5), B=3, m=12, n=18)
+    m, n = A.shape[1:]
+    fd = build_batched_form(A, b, c, nonneg(m), nonneg(n), direct=True)
+    fi = build_batched_form(A, b, c, nonneg(m), nonneg(n))
+    rd = solve_batched(DR(), fd, max_iters=10000, eps=1e-6, checki=100)
+    ri = solve_batched(DR(), fi, max_iters=10000, eps=1e-6, checki=100)
+    assert np.all(np.asarray(rd.status) == Status.OPTIMAL)
+    # batched fac == the single-problem QR construction, bit-for-bit
+    prob2 = conic_problem(jnp.asarray(A[1]), jnp.asarray(b[1]),
+                          jnp.asarray(c[1]), nonneg(m), nonneg(n))
+    fs = HSDEForm.build(prob2, direct=True)
+    np.testing.assert_array_equal(np.asarray(fd.sets.s1.fac[1]),
+                                  np.asarray(fs.sets.s1.fac))
+    # objective-level agreement with the indirect batch (trajectories
+    # differ: exact projections vs scheduled CG)
+    l = m + n + 1
+    for i in range(3):
+        xd = np.asarray(rd.guess[i, :n] / rd.guess[i, l - 1])
+        xi = np.asarray(ri.guess[i, :n] / ri.guess[i, l - 1])
+        od, oi = float(c[i] @ xd), float(c[i] @ xi)
+        assert abs(od - oi) <= 1e-4 * (1 + abs(oi))
