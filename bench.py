@@ -136,9 +136,11 @@ def _banded_bell_problem(nrb=256, seed=17):
     diagT = jnp.swapaxes(diag, -1, -2)
     lowT = jnp.swapaxes(jnp.roll(low, -1, axis=0).at[-1].set(0.0), -1, -2)
     blocks_t = jnp.stack([upT, diagT, lowT], axis=1)
+    from fos_tpu.config import is_tpu_backend
+
     op = BlockedEllOp(blocks, jnp.asarray(cols, jnp.int32),
                       blocks_t, jnp.asarray(cols, jnp.int32), m, n,
-                      interpret=jax.default_backend() == "cpu")
+                      interpret=not is_tpu_backend())
     # primal-dual certificate LP
     x0 = jnp.abs(jax.random.normal(kx, (n,), jnp.float32))
     y0 = jnp.abs(jax.random.normal(ky, (m,), jnp.float32))

@@ -132,8 +132,11 @@ class PaddedDenseOp:
     @classmethod
     def create(cls, A, bm: int = 512, bn: int = 512, interpret: bool = None):
         if interpret is None:
-            # Mosaic compiles only on TPU; fall back to interpret elsewhere
-            interpret = jax.default_backend() == "cpu"
+            # Mosaic compiles only on TPU; fall back to interpret on every
+            # other backend (CPU tests, XLA:GPU, ...)
+            from fos_tpu.config import is_tpu_backend
+
+            interpret = not is_tpu_backend()
         if hasattr(A, "todense"):  # BCOO reaches here via solve(pallas=True)
             A = A.todense()
         A = jnp.asarray(A, jnp.float32)

@@ -208,7 +208,10 @@ class BlockedEllOp:
     def create(cls, A, *, bm=128, bn=128, interpret=None):
         """Build from a scipy.sparse matrix or a jax BCOO."""
         if interpret is None:
-            interpret = jax.default_backend() == "cpu"
+            # Mosaic compiles only on TPU: interpret everywhere else
+            from fos_tpu.config import is_tpu_backend
+
+            interpret = not is_tpu_backend()
         rows, cols, vals, m, n = _coo_parts(A)
         blocks, cols_tab, _ = _build_ell_arrays(
             m, n, rows, cols, vals.astype(np.float32), bm, bn)

@@ -156,10 +156,18 @@ class HSDEForm:
         # dense grid); "bell" forces it, "bcoo" keeps gather-based BCOO.
         if hasattr(A, "indices") and sparse_format in ("auto", "bell"):
             if jnp.dtype(b.dtype) == jnp.float32:  # the kernel is f32
+                import jax as _jax
+
+                from fos_tpu.config import is_tpu_backend
                 from fos_tpu.linalg.sparse_ell import (BlockedEllOp,
                                                        bell_storage_ratio)
 
-                if sparse_format == "bell" or bell_storage_ratio(A) < 0.5:
+                # auto picks bell only where the Mosaic kernel compiles
+                # (TPU) or interprets for tests (CPU); other backends
+                # (XLA:GPU) keep BCOO unless bell is forced
+                if sparse_format == "bell" or (
+                        (is_tpu_backend() or _jax.default_backend() == "cpu")
+                        and bell_storage_ratio(A) < 0.5):
                     A = BlockedEllOp.create(A)
             elif sparse_format == "bell":
                 raise ValueError(

@@ -166,3 +166,26 @@ def test_bell_requires_f32_loudly():
     with pytest.raises(ValueError, match="bell"):
         solve(A, b, c, nonneg(32), nonneg(48), alg=DR(), verbose=0,
               densify=False, sparse_format="bell", max_iters=10)
+
+
+def test_mosaic_gating_off_tpu(monkeypatch):
+    """VERDICT r2 item 10 (backend portability): on a non-TPU, non-CPU
+    backend (XLA:GPU), auto must NOT pick the Mosaic blocked-ELL kernel,
+    and explicit BlockedEllOp creation must default to interpret mode."""
+    import fos_tpu.config as config
+    import fos_tpu.problems.hsde as hsde_mod
+
+    monkeypatch.setattr(config, "is_tpu_backend", lambda: False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "gpu")
+
+    A = _rand_sparse(256, 256, 0.002, seed=9)   # bell-profitable occupancy
+    rng = np.random.default_rng(0)
+    b = np.abs(A @ np.abs(rng.standard_normal(256)) + 0.1).astype(np.float32)
+    c = np.abs(rng.standard_normal(256)).astype(np.float32)
+    prob = conic_problem(A.astype(np.float32), jnp.asarray(b),
+                         jnp.asarray(c), nonneg(256), nonneg(256))
+    form = HSDEForm.build(prob, densify=False)   # auto sparse_format
+    assert not isinstance(form.A, BlockedEllOp), type(form.A)
+
+    op = BlockedEllOp.create(A.astype(np.float32))
+    assert op.interpret  # compiled Mosaic only on a real TPU backend
