@@ -138,9 +138,24 @@ def _banded_bell_problem(nrb=256, seed=17):
     blocks_t = jnp.stack([upT, diagT, lowT], axis=1)
     from fos_tpu.config import is_tpu_backend
 
+    interp = not is_tpu_backend()
     op = BlockedEllOp(blocks, jnp.asarray(cols, jnp.int32),
                       blocks_t, jnp.asarray(cols, jnp.int32), m, n,
-                      interpret=not is_tpu_backend())
+                      interpret=interp)
+    # banded layout of the SAME tiles (contiguous window [cs_i, cs_i + 3)):
+    # middle rows already sit at slots (low, diag, up) = window order; the
+    # first/last rows shift so slots line up with cs = clip(i-1, 0, nrb-3)
+    from fos_tpu.linalg.sparse_ell import BandedBlockOp
+
+    def _bandify(blk):
+        blk = blk.at[0].set(jnp.roll(blk[0], -1, axis=0).at[2].set(0.0))
+        blk = blk.at[-1].set(jnp.roll(blk[-1], 1, axis=0).at[0].set(0.0))
+        return blk
+
+    cs = np.clip(np.arange(nrb) - 1, 0, nrb - 3).astype(np.int32)
+    op_band = BandedBlockOp(_bandify(blocks), jnp.asarray(cs),
+                            _bandify(blocks_t), jnp.asarray(cs), m, n,
+                            interpret=interp)
     # primal-dual certificate LP
     x0 = jnp.abs(jax.random.normal(kx, (n,), jnp.float32))
     y0 = jnp.abs(jax.random.normal(ky, (m,), jnp.float32))
@@ -155,7 +170,7 @@ def _banded_bell_problem(nrb=256, seed=17):
     b = op.mv(x0) + s0
     c = r0 - op.rmv(y0)
     nnz = int(3 * nrb * bs * bs)
-    return op, b, c, float(jnp.vdot(c, x0)), nnz
+    return op, op_band, b, c, float(jnp.vdot(c, x0)), nnz
 
 
 def sdp_batched_bench(alg=None, Bs=64, d=64, bench_iters=300,
@@ -332,7 +347,7 @@ def tpu_bench():
     print("sparse bell...", file=sys.stderr)
     from fos_tpu.problems.conic import ConicProblem
 
-    op, bsp, csp, opt_sp, nnz_sp = _banded_bell_problem()
+    op, op_band, bsp, csp, opt_sp, nnz_sp = _banded_bell_problem()
     prob_sp = ConicProblem(op, bsp, csp, nonneg(op.m), nonneg(op.n))
     form_sp = HSDEForm.build(prob_sp, densify=False)
     run_sp = jax.jit(lambda f, x, eps: fused_solve(alg, f, x, max_iters=300,
@@ -344,6 +359,18 @@ def tpu_bench():
     r = run_sp(form_sp, x0sp, 0.0)
     float(jnp.sum(r.guess))
     sparse_iters_per_s = 300 / (time.perf_counter() - t0)
+
+    # A/B: the banded (contiguous x window) layout of the same problem —
+    # replaces the ELL kernel's per-tile x gather (the round-2 bandwidth
+    # limiter) with one contiguous slice per row block
+    prob_bd = ConicProblem(op_band, bsp, csp, nonneg(op.m), nonneg(op.n))
+    form_bd = HSDEForm.build(prob_bd, densify=False)
+    rbd = run_sp(form_bd, form_bd.initial_value(form_bd.dtype), 0.0)
+    float(jnp.sum(rbd.guess))
+    t0 = time.perf_counter()
+    rbd = run_sp(form_bd, form_bd.initial_value(form_bd.dtype), 0.0)
+    float(jnp.sum(rbd.guess))
+    band_iters_per_s = 300 / (time.perf_counter() - t0)
     # quality run gets a real convergence budget
     run_spq = jax.jit(lambda f, x: fused_solve(alg, f, x, max_iters=6000,
                                                eps=1e-5, checki=100, unroll=4))
@@ -412,6 +439,7 @@ def tpu_bench():
             "sparse_banded_1e7nnz": {
                 "nnz": nnz_sp,
                 "iters_per_s": round(sparse_iters_per_s, 1),
+                "band_layout_iters_per_s": round(band_iters_per_s, 1),
                 "eps1e-5_status": int(rq.status),
                 "eps1e-5_iters": int(rq.iters),
                 "obj": sparse_obj,

@@ -121,6 +121,56 @@ def _bell_mv(cols, blocks, xb, *, interpret=False):
     )(cols, blocks, xb)
 
 
+def _band_mv_kernel(cs_ref, blocks_ref, x_ref, y_ref, *, mt, S):
+    """Banded variant: row-block i's occupied tiles live at contiguous
+    block-columns [cs[i], cs[i] + S), so the per-x-row gather of the ELL
+    kernel (mt*kt separate (1, bn) dynamic slices — the diagnosed
+    bandwidth limiter, PERF.md round 2) becomes mt CONTIGUOUS (S, bn)
+    slices.  One grid step computes y[i*mt : (i+1)*mt] whole (no k-axis
+    accumulation passes)."""
+    i = pl.program_id(0)
+    xs = jnp.concatenate(
+        [x_ref[pl.ds(cs_ref[i * mt + r], S), :] for r in range(mt)])
+    a = blocks_ref[...]                      # (mt, S, bm, bn)
+    bm, bn = a.shape[2], a.shape[3]
+    parts = jax.lax.dot_general(
+        a.reshape(mt * S, bm, bn), xs, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                        # (mt*S, bm)
+    y_ref[...] = jnp.sum(parts.reshape(mt, S, bm), axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _band_mv(cs, blocks, xb, *, interpret=False):
+    """cs: (nrb,) int32 first occupied block-column per row block;
+    blocks: (nrb, S, bm, bn) f32; xb: (ncb + S, bn) f32 padded so the
+    trailing slice stays in range -> y: (nrb, bm) f32."""
+    nrb, S, bm, bn = blocks.shape
+    ncb_pad = xb.shape[0]
+    mt = _m_block(nrb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nrb // mt,),
+        in_specs=[
+            pl.BlockSpec((mt, S, bm, bn), lambda i, cs: (i, i * 0, i * 0, i * 0)),
+            pl.BlockSpec((ncb_pad, bn), lambda i, cs: (i * 0, i * 0)),
+        ],
+        out_specs=pl.BlockSpec((mt, bm), lambda i, cs: (i, i * 0)),
+    )
+    return pl.pallas_call(
+        functools.partial(_band_mv_kernel, mt=mt, S=S),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nrb, bm), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nrb * S * bm * bn,
+            bytes_accessed=nrb * S * bm * bn * 4 + (nrb * bm + ncb_pad * bn) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(cs, blocks, xb)
+
+
 def _k_block(kmax: int) -> int:
     """Tiles streamed per grid step along k: whole k-range when small, else
     the largest divisor of kmax that is <= 8 (builder pads kmax to keep
@@ -176,6 +226,148 @@ def _build_ell_arrays(m, n, rows, cols, vals, bm, bn):
     cols_tab[uti, slot] = utj.astype(np.int32)
     blocks[uti[inv], slot[inv], rows - ti * bm, cols - tj * bn] = vals
     return blocks, cols_tab, counts
+
+
+def _build_band_arrays(m, n, rows, cols, vals, bm, bn):
+    """Pack COO triplets into banded-block numpy arrays: per row block a
+    contiguous column window [cs_i, cs_i + S) holds all its tiles (S = max
+    window over row blocks; sparse-within-window slots stay zero)."""
+    nrb = _pad8(math.ceil(m / bm))
+    ti = rows // bm
+    tj = cols // bn
+    lo = np.full(nrb, np.iinfo(np.int64).max, np.int64)
+    hi = np.full(nrb, -1, np.int64)
+    if rows.size:
+        np.minimum.at(lo, ti, tj)
+        np.maximum.at(hi, ti, tj)
+    lo = np.where(hi >= 0, lo, 0)
+    S = max(int((hi - lo + 1).max()) if rows.size else 1, 1)
+    blocks = np.zeros((nrb, S, bm, bn), np.float32)
+    if rows.size:
+        blocks[ti, tj - lo[ti], rows - ti * bm, cols - tj * bn] = vals
+    return blocks, lo.astype(np.int32), S
+
+
+def band_span_ratio(A, bm=128, bn=128) -> float:
+    """Banded-block storage (both layouts) relative to blocked-ELL storage
+    — 1.0 when every row/col block's occupied tiles are contiguous (banded
+    matrices), large when columns are scattered across the row."""
+    rows, cols, _, m, n = _coo_parts(A)
+    if rows.size == 0:
+        return 1.0
+
+    def one(r, c, mm):
+        nrb = _pad8(math.ceil(mm / bm))
+        ti = r // bm
+        tj = c // bn
+        lo = np.full(nrb, np.iinfo(np.int64).max, np.int64)
+        hi = np.full(nrb, -1, np.int64)
+        np.minimum.at(lo, ti, tj)
+        np.maximum.at(hi, ti, tj)
+        span = int(np.where(hi >= 0, hi - lo + 1, 0).max())
+        ncb_tiles = int(tj.max()) + 1
+        upair = np.unique(ti.astype(np.int64) * ncb_tiles + tj)
+        cnt = int(np.bincount(upair // ncb_tiles, minlength=nrb).max())
+        return span / max(cnt, 1)
+
+    return max(one(rows, cols, m), one(cols, rows, n))
+
+
+@jax.tree_util.register_pytree_node_class
+class BandedBlockOp:
+    """Banded-block sparse operator: same mv/rmv/shape/todense protocol as
+    :class:`BlockedEllOp`, but each row block's tiles occupy a contiguous
+    block-column window, so the SpMV kernel slices x contiguously instead
+    of gathering per-tile rows (the ELL kernel's bandwidth limiter)."""
+
+    def __init__(self, blocks, cs, blocks_t, cs_t, m, n,
+                 bm=128, bn=128, interpret=False):
+        self.blocks = blocks        # (nrb, S, bm, bn)
+        self.cs = cs                # (nrb,) int32 window start (block cols)
+        self.blocks_t = blocks_t    # A' tiles: (ncb, S_t, bn, bm)
+        self.cs_t = cs_t
+        self.m = m
+        self.n = n
+        self.bm = bm
+        self.bn = bn
+        self.interpret = interpret
+
+    def tree_flatten(self):
+        return (self.blocks, self.cs, self.blocks_t, self.cs_t), (
+            self.m, self.n, self.bm, self.bn, self.interpret)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @classmethod
+    def create(cls, A, *, bm=128, bn=128, interpret=None):
+        if interpret is None:
+            from fos_tpu.config import is_tpu_backend
+
+            interpret = not is_tpu_backend()
+        rows, cols, vals, m, n = _coo_parts(A)
+        blocks, cs, _ = _build_band_arrays(
+            m, n, rows, cols, vals.astype(np.float32), bm, bn)
+        blocks_t, cs_t, _ = _build_band_arrays(
+            n, m, cols, rows, vals.astype(np.float32), bn, bm)
+        return cls(jnp.asarray(blocks), jnp.asarray(cs),
+                   jnp.asarray(blocks_t), jnp.asarray(cs_t),
+                   m, n, bm, bn, interpret)
+
+    @property
+    def shape(self):
+        return (self.m, self.n)
+
+    @property
+    def dtype(self):
+        return self.blocks.dtype
+
+    def occupancy(self) -> float:
+        nrb, S = self.blocks.shape[:2]
+        ncb = self.blocks_t.shape[0]
+        return (nrb * S) / float(nrb * ncb)
+
+    def _pad_x(self, x, nblocks, width, S):
+        # pad to nblocks*width, then S extra zero blocks so the trailing
+        # window slice [cs, cs + S) never leaves the array
+        pad = nblocks * width - x.shape[0] + S * width
+        xb = jnp.pad(x, (0, pad)) if pad else x
+        return xb.reshape(nblocks + S, width)
+
+    def mv(self, x):
+        ncb = self.blocks_t.shape[0]
+        S = self.blocks.shape[1]
+        xb = self._pad_x(x, ncb, self.bn, S)
+        y = _band_mv(self.cs, self.blocks, xb, interpret=self.interpret)
+        return y.reshape(-1)[: self.m]
+
+    def rmv(self, y):
+        nrb = self.blocks.shape[0]
+        S_t = self.blocks_t.shape[1]
+        yb = self._pad_x(y, nrb, self.bm, S_t)
+        z = _band_mv(self.cs_t, self.blocks_t, yb, interpret=self.interpret)
+        return z.reshape(-1)[: self.n]
+
+    def todense(self):
+        nrb, S, bm, bn = self.blocks.shape
+        ncb = self.blocks_t.shape[0]
+        dense = jnp.zeros((nrb * bm, (ncb + S) * bn), jnp.float32)
+        for i in range(nrb):
+            for k in range(S):
+                ri = jnp.asarray(i * bm, jnp.int32)
+                cj = (self.cs[i].astype(jnp.int32) + k) * bn
+                dense = jax.lax.dynamic_update_slice(
+                    dense,
+                    jax.lax.dynamic_slice(dense, (ri, cj), (bm, bn))
+                    + self.blocks[i, k],
+                    (ri, cj))
+        return dense[: self.m, : self.n]
+
+    def astype(self, dtype):
+        if jnp.dtype(dtype) == jnp.float32:
+            return self
+        raise TypeError("BandedBlockOp is f32-only (TPU kernel dtype)")
 
 
 @jax.tree_util.register_pytree_node_class

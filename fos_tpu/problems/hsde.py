@@ -159,7 +159,9 @@ class HSDEForm:
                 import jax as _jax
 
                 from fos_tpu.config import is_tpu_backend
-                from fos_tpu.linalg.sparse_ell import (BlockedEllOp,
+                from fos_tpu.linalg.sparse_ell import (BandedBlockOp,
+                                                       BlockedEllOp,
+                                                       band_span_ratio,
                                                        bell_storage_ratio)
 
                 # auto picks bell only where the Mosaic kernel compiles
@@ -168,7 +170,12 @@ class HSDEForm:
                 if sparse_format == "bell" or (
                         (is_tpu_backend() or _jax.default_backend() == "cpu")
                         and bell_storage_ratio(A) < 0.5):
-                    A = BlockedEllOp.create(A)
+                    # contiguous-window (banded) tiles avoid the ELL
+                    # kernel's per-tile x gather when the span is tight
+                    if band_span_ratio(A) <= 1.25:
+                        A = BandedBlockOp.create(A)
+                    else:
+                        A = BlockedEllOp.create(A)
             elif sparse_format == "bell":
                 raise ValueError(
                     "sparse_format='bell' requires f32 problem data (the "

@@ -189,3 +189,68 @@ def test_mosaic_gating_off_tpu(monkeypatch):
 
     op = BlockedEllOp.create(A.astype(np.float32))
     assert op.interpret  # compiled Mosaic only on a real TPU backend
+
+
+def _banded_scipy(m, n, bw, seed):
+    """Random banded matrix: nonzeros within |i - j| <= bw."""
+    rng = np.random.default_rng(seed)
+    rows, cols, vals = [], [], []
+    for i in range(m):
+        lo, hi = max(0, i - bw), min(n, i + bw + 1)
+        nz = rng.integers(1, 4)
+        cs = rng.integers(lo, hi, nz)
+        rows.extend([i] * nz)
+        cols.extend(cs.tolist())
+        vals.extend(rng.standard_normal(nz).tolist())
+    return sp.coo_matrix((vals, (rows, cols)), shape=(m, n)).tocsr()
+
+
+def test_banded_block_op_matvec_oracle():
+    from fos_tpu.linalg.sparse_ell import BandedBlockOp, band_span_ratio
+
+    A = _banded_scipy(1000, 1200, 150, seed=4).astype(np.float32)
+    assert band_span_ratio(A) <= 1.25
+    op = BandedBlockOp.create(A)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(1200).astype(np.float32)
+    y = rng.standard_normal(1000).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(op.mv(jnp.asarray(x))), A @ x,
+                               rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(op.rmv(jnp.asarray(y))), A.T @ y,
+                               rtol=2e-5, atol=2e-4)
+    # dense reconstruction round-trips
+    np.testing.assert_allclose(np.asarray(op.todense()), A.toarray(),
+                               atol=1e-6)
+
+
+def test_banded_auto_selected_and_solves():
+    """auto sparse_format picks the banded layout for banded matrices and
+    the solve matches the densified path."""
+    from fos_tpu.linalg.sparse_ell import BandedBlockOp
+
+    # auto selection needs the padded tile ratio to beat 0.5 -> large grid
+    Abig = _banded_scipy(4096, 4096, 150, seed=6).astype(np.float32)
+    prob_big = conic_problem(
+        Abig, jnp.ones(4096, jnp.float32), jnp.ones(4096, jnp.float32),
+        nonneg(4096), nonneg(4096))
+    form = HSDEForm.build(prob_big, densify=False)
+    assert isinstance(form.sets.s1.A, BandedBlockOp), type(form.sets.s1.A)
+
+    # e2e: forced bell routes banded matrices through BandedBlockOp too
+    A = _banded_scipy(512, 512, 100, seed=6).astype(np.float32)
+    rng = np.random.default_rng(1)
+    x0 = np.abs(rng.standard_normal(512)).astype(np.float32)
+    b = (A @ x0 + np.abs(rng.standard_normal(512))).astype(np.float32)
+    c = np.abs(rng.standard_normal(512)).astype(np.float32) + 0.1
+    prob = conic_problem(A, jnp.asarray(b), jnp.asarray(c),
+                         nonneg(512), nonneg(512))
+    form_b = HSDEForm.build(prob, densify=False, sparse_format="bell")
+    assert isinstance(form_b.sets.s1.A, BandedBlockOp), type(form_b.sets.s1.A)
+    sol = solve(A, b, c, nonneg(512), nonneg(512), alg=DR(), eps=1e-5,
+                verbose=0, densify=False, sparse_format="bell",
+                max_iters=20000, dtype=jnp.float32)
+    sol_d = solve(np.asarray(A.toarray()), b, c, nonneg(512), nonneg(512),
+                  alg=DR(), eps=1e-5, verbose=0, max_iters=20000,
+                  dtype=jnp.float32)
+    assert sol.status == "Optimal" == sol_d.status
+    assert abs(sol.objval - sol_d.objval) < 2e-3 * (1 + abs(sol_d.objval))
