@@ -70,31 +70,57 @@ def shard_batched_form(form, mesh: Mesh, axis: str = "batch"):
     return jax.tree_util.tree_map(put, form)
 
 
+def _rebuild_row_sharded(form, put_A, put_b, put_c, put_rest):
+    """Reassemble an HSDEForm with per-FIELD placements.
+
+    Dispatch keys on the form's named structure (the pytree layouts we own:
+    HSDEForm children are (sets, A, b, c, norm_b, norm_c, dinv, einv) and
+    the S1 projector's are (A, b, c, fac)), NOT on leaf shapes — so square
+    problems (m == n) shard correctly too (r2 weak item 3)."""
+    s1 = form.sets.s1
+    if not (hasattr(s1.A, "ndim") or s1.A is None):
+        raise ValueError(
+            f"row sharding supports dense A only (got {type(s1.A).__name__});"
+            " sparse operators carry their own tile layout — shard the raw "
+            "data with shard_problem_2d before building the form instead")
+    ch, aux = s1.tree_flatten()          # (A, b, c, fac, ...)
+    A, b, c, fac = ch[0], ch[1], ch[2], ch[3]
+    s1n = type(s1).tree_unflatten(
+        aux, (put_A(A), put_b(b), put_c(c), put_rest(fac)) + tuple(
+            put_rest(x) for x in ch[4:]))
+    s2n = jax.tree_util.tree_map(put_rest, form.sets.s2)
+    sets = type(form.sets)(s1n, s2n)
+    fch, faux = form.tree_flatten()      # (sets, A, b, c, nb, nc, dinv, einv)
+    _, A0, b0, c0, nb, nc, dinv, einv = fch
+    new_children = (sets, put_A(A0), put_b(b0), put_c(c0), put_rest(nb),
+                    put_rest(nc), put_b(dinv), put_c(einv))
+    return type(form).tree_unflatten(faux, new_children)
+
+
 def shard_problem_rows(form, mesh: Mesh, axis: str = "model"):
-    """Row-block shard one large problem: A by rows, b alongside; c and the
-    iterate stay replicated.  A'y then contracts over the sharded row axis
-    (XLA inserts the psum); A x is local per row block."""
+    """Row-block shard one large problem: A by rows, b (and the row weights
+    dinv) alongside; c and the iterate stay replicated.  A'y then contracts
+    over the sharded row axis (XLA inserts the psum); A x is local per row
+    block.  Placement keys on the form's named fields, so square problems
+    (m == n) work."""
     s_rows2d = NamedSharding(mesh, P(axis, None))
     s_rows1d = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
 
-    def put(x):
+    def put(sharding):
+        def f(x):
+            if x is None or not hasattr(x, "ndim"):
+                return x
+            return jax.device_put(x, sharding)
+        return f
+
+    def put_repl(x):
         if x is None or not hasattr(x, "ndim"):
             return x
-        # Shard by shape: A is the only (m, ·) 2-D leaf, b the only m-vector
-        # (m != n is validated below so an (n,)-leaf can't mis-shard).
-        if x.ndim == 2 and x.shape[0] == form.m:
-            return jax.device_put(x, s_rows2d)
-        if x.ndim == 1 and x.shape[0] == form.m:
-            return jax.device_put(x, s_rows1d)
         return jax.device_put(x, repl)
 
-    if form.m == form.n:
-        raise ValueError(
-            "shard_problem_rows dispatches on leaf shapes and requires "
-            "m != n (square problems would mis-shard c); pad A with a "
-            "redundant row or use shard_problem_2d")
-    return jax.tree_util.tree_map(put, form)
+    return _rebuild_row_sharded(form, put(s_rows2d), put(s_rows1d),
+                                put_repl, put_repl)
 
 
 def shard_batched_form_rows(form, mesh: Mesh, batch_axis: str = "batch",
@@ -105,27 +131,28 @@ def shard_batched_form_rows(form, mesh: Mesh, batch_axis: str = "batch",
     dot).  This is the two-level layout for a pod — e.g. a (hosts, 4) mesh
     from :func:`make_hybrid_mesh`.
 
-    Layouts: A (B,m,n): P(batch, model, None); b (B,m): P(batch, model);
-    c (B,n) and everything else (B, ...): P(batch, None, ...).
+    Layouts (keyed on the form's named fields, batched leaves carry a
+    leading instance axis): A (B,m,n): P(batch, model, None); b / dinv
+    (B,m): P(batch, model); c / einv (B,n) and the rest: P(batch, ...).
     """
-    if form.m == form.n:
-        raise ValueError(
-            "shard_batched_form_rows dispatches on leaf shapes and requires "
-            "m != n (square problems would mis-shard c)")
     s_A = NamedSharding(mesh, P(batch_axis, model_axis, None))
     s_b = NamedSharding(mesh, P(batch_axis, model_axis))
 
-    def put(x):
+    def put_spec(sharding):
+        def f(x):
+            if x is None or not hasattr(x, "ndim"):
+                return x
+            return jax.device_put(x, sharding)
+        return f
+
+    def put_batch(x):
         if x is None or not hasattr(x, "ndim") or x.ndim == 0:
             return x
-        if x.ndim == 3 and x.shape[1] == form.m:
-            return jax.device_put(x, s_A)
-        if x.ndim == 2 and x.shape[1] == form.m:
-            return jax.device_put(x, s_b)
         spec = P(batch_axis, *([None] * (x.ndim - 1)))
         return jax.device_put(x, NamedSharding(mesh, spec))
 
-    return jax.tree_util.tree_map(put, form)
+    return _rebuild_row_sharded(form, put_spec(s_A), put_spec(s_b),
+                                put_batch, put_batch)
 
 
 def shard_problem_2d(A, b, c, mesh: Mesh, axes=("model_r", "model_c")):

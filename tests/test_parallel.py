@@ -304,3 +304,31 @@ def test_batched_direct_matches_indirect():
         xi = np.asarray(ri.guess[i, :n] / ri.guess[i, l - 1])
         od, oi = float(c[i] @ xd), float(c[i] @ xi)
         assert abs(od - oi) <= 1e-4 * (1 + abs(oi))
+
+
+def test_row_sharding_square_problem(rng):
+    """r2 weak item 3: sharding keys on the form's named fields now, so
+    square (m == n) problems row-shard instead of hard-erroring."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    m = n = 24
+    A, b, c = _lp_batch(rng, B=1, m=m, n=n)
+    A, b, c = A[0], b[0], c[0]
+    prob = conic_problem(jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
+                         nonneg(m), nonneg(n))
+    form = HSDEForm.build(prob)
+    mesh = make_mesh((1, 8), ("batch", "model"))
+    form_sh = shard_problem_rows(form, mesh)
+    # b sharded over the model axis, c replicated — named-field dispatch
+    assert "model" in str(form_sh.b.sharding.spec)
+    assert form_sh.c.sharding.spec == jax.sharding.PartitionSpec()
+    res_plain = fused_solve(DR(), form, form.initial_value(form.dtype),
+                            max_iters=1500, eps=1e-5, checki=100)
+    res_sh = fused_solve(DR(), form_sh, form.initial_value(form.dtype),
+                         max_iters=1500, eps=1e-5, checki=100)
+    assert int(res_sh.status) == int(res_plain.status)
+    l = m + n + 1
+    x_p = np.asarray(res_plain.guess[:n] / res_plain.guess[l - 1])
+    x_s = np.asarray(res_sh.guess[:n] / res_sh.guess[l - 1])
+    op, os_ = float(c @ x_p), float(c @ x_s)
+    assert abs(op - os_) <= 1e-4 * (1 + abs(op))

@@ -139,14 +139,19 @@ def test_gap_stall_auto_recovery():
     # f32 + default CG floor stalls on this LP (p/d pass, gap stuck at
     # ~0.007 vs optimum ~0.0006); the engine must detect the stall and
     # tighten the CG floor automatically, reaching Optimal (measured:
-    # Indeterminate without recovery, Optimal at ~15800 iters with it).
+    # Indeterminate without recovery, Optimal at ~13000 iters with it).
+    # The recovery logic is format-independent (engine.py), so this runs
+    # the cheap BCOO path: the previous interpret-mode Pallas (bell)
+    # variant compiled a 20k-iteration solve that dominated the suite's
+    # wall-clock and triggered the full-suite XLA backend_compile segfault
+    # (r2 weak item 6); the bell format is exercised by the other tests.
     A = _rand_sparse(120, 200, 0.05, seed=2)
     rng = np.random.default_rng(0)
     x0 = np.abs(rng.standard_normal(200))
     b = A @ x0 + np.abs(rng.standard_normal(120))
     c = np.abs(rng.standard_normal(200))
     sol = solve(A, b, c, nonneg(120), nonneg(200), alg=DR(), eps=1e-5,
-                verbose=0, densify=False, sparse_format="bell",
+                verbose=0, densify=False, sparse_format="bcoo",
                 max_iters=20000, dtype=jnp.float32)
     assert sol.status == "Optimal"
     sol64 = solve(A, b, c, nonneg(120), nonneg(200), alg=DR(), eps=1e-5,
