@@ -244,11 +244,15 @@ def test_hybrid_mesh_validation(rng):
 
     with pytest.raises(ValueError, match="devices"):
         make_hybrid_mesh(3, 5)
-    A, b, c = _lp_batch(rng, B=2, m=16, n=16)
-    form = build_batched_form(A, b, c, nonneg(16), nonneg(16))
-    mesh = make_mesh((len(jax.devices()), 1))
-    with pytest.raises(ValueError, match="m != n"):
-        shard_batched_form_rows(form, mesh)
+    # square (m == n) batched forms shard fine now (named-field dispatch):
+    # b rides (batch, model), c stays (batch,)-only — no shape ambiguity
+    if len(jax.devices()) >= 8:
+        A, b, c = _lp_batch(rng, B=2, m=16, n=16)
+        form = build_batched_form(A, b, c, nonneg(16), nonneg(16))
+        mesh = make_mesh((2, 4))
+        form_sh = shard_batched_form_rows(form, mesh)
+        assert "model" in str(form_sh.b.sharding.spec)
+        assert "model" not in str(form_sh.c.sharding.spec)
 
 
 def test_2d_sharded_equals_row_sharded(rng):
