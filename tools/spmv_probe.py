@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""SpMV kernel probe: blocked-ELL vs banded-block layouts on real TPU.
+
+Run when the TPU tunnel is up to localize the SpMV bandwidth limiter
+(VERDICT r2 item 1: 248 GB/s vs ~800 GB/s HBM peak, diagnosed as the
+per-tile x gather).  Prints effective GB/s (stored tile bytes / matvec
+time) for:
+
+* ``ell``  — BlockedEllOp (per-tile x row gather),
+* ``band`` — BandedBlockOp (one contiguous (S, bn) x slice per row block),
+* ``dense``— XLA dense matvec on the same shape (bandwidth reference),
+
+on block-tridiagonal matrices at several sizes.  Timing rule for the axon
+tunnel: run the matvec inside ONE jit'd fori_loop (per-op dispatch costs
+0.5-1.4 ms RTT) and synchronize by fetching a scalar.
+
+Usage:  python tools/spmv_probe.py [nrb ...]      (default 64 128 256)
+"""
+
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _tridiag_ops(nrb, bs=128, seed=7):
+    from fos_tpu.config import is_tpu_backend
+    from fos_tpu.linalg.sparse_ell import BandedBlockOp, BlockedEllOp
+
+    interp = not is_tpu_backend()
+    key = jax.random.PRNGKey(seed)
+    kl, kd, ku = jax.random.split(key, 3)
+    scale = float(1.0 / np.sqrt(3 * bs))
+    low = jax.random.normal(kl, (nrb, bs, bs), jnp.float32) * scale
+    diag = jax.random.normal(kd, (nrb, bs, bs), jnp.float32) * scale
+    up = jax.random.normal(ku, (nrb, bs, bs), jnp.float32) * scale
+    low = low.at[0].set(0.0)
+    up = up.at[-1].set(0.0)
+    blocks = jnp.stack([low, diag, up], axis=1)
+    i = np.arange(nrb)
+    cols = np.stack([np.maximum(i - 1, 0), i, np.minimum(i + 1, nrb - 1)], 1)
+    m = n = nrb * bs
+    ell = BlockedEllOp(blocks, jnp.asarray(cols, jnp.int32),
+                       blocks, jnp.asarray(cols, jnp.int32), m, n,
+                       interpret=interp)  # symmetric-shape probe: reuse tiles
+
+    def _bandify(blk):
+        blk = blk.at[0].set(jnp.roll(blk[0], -1, axis=0).at[2].set(0.0))
+        blk = blk.at[-1].set(jnp.roll(blk[-1], 1, axis=0).at[0].set(0.0))
+        return blk
+
+    cs = np.clip(np.arange(nrb) - 1, 0, nrb - 3).astype(np.int32)
+    band = BandedBlockOp(_bandify(blocks), jnp.asarray(cs),
+                         _bandify(blocks), jnp.asarray(cs), m, n,
+                         interpret=interp)
+    tile_bytes = int(blocks.size) * 4
+    return ell, band, tile_bytes, m, n
+
+
+def _time_mv(op, n, iters=200):
+    x0 = jnp.ones((n,), jnp.float32)
+
+    @jax.jit
+    def loop(x):
+        def body(_, x):
+            y = op.mv(x)
+            return y / (jnp.linalg.norm(y) + 1.0)  # data dependence
+
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    float(jnp.sum(loop(x0)))  # compile + warm
+    t0 = time.perf_counter()
+    float(jnp.sum(loop(x0)))
+    return (time.perf_counter() - t0) / iters
+
+
+def main(sizes):
+    print(f"backend: {jax.devices()[0]}")
+    for nrb in sizes:
+        ell, band, tile_bytes, m, n = _tridiag_ops(nrb)
+        dt_e = _time_mv(ell, n)
+        dt_b = _time_mv(band, n)
+        A = jax.random.normal(jax.random.PRNGKey(1), (m, n), jnp.float32) \
+            if m <= 16384 else None
+        line = (f"nrb={nrb:4d} ({m}x{n}, {tile_bytes/2**20:.0f} MiB tiles): "
+                f"ell {tile_bytes/dt_e/1e9:7.1f} GB/s  "
+                f"band {tile_bytes/dt_b/1e9:7.1f} GB/s")
+        if A is not None:
+            class _D:
+                def mv(self, x):
+                    return A @ x
+
+            dt_d = _time_mv(_D(), n)
+            line += f"  dense({4*m*n/2**20:.0f} MiB) {4*m*n/dt_d/1e9:7.1f} GB/s"
+        print(line)
+
+
+if __name__ == "__main__":
+    main([int(a) for a in sys.argv[1:]] or [64, 128, 256])
