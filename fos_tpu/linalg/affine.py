@@ -125,14 +125,18 @@ class HSDEAffineProjector:
         if self.direct:
             u = self.fac.T @ z  # = R^{-1} Q_f' z (QR least squares)
             new_cg = CGState(cg.warm, cg.initialized, cg.call_idx + 1,
-                             jnp.asarray(0, jnp.int32))
+                             jnp.asarray(0, jnp.int32), cg.floor)
         else:
             # rhs = u0 + Q' v0 = u0 - Q v0 (skew-symmetry)
             rhs = u0 - hsde_ops.q_mul(self.A, self.b, self.c, v0)
             warm = jnp.where(cg.initialized, cg.warm, u0)
             # reference floor: size(KKT,2)*eps = 2l*eps (affinepluslinear.jl:108).
-            # Overridable: 2l*eps(f32) is coarse for large l on the TPU path.
-            floor = self.tol_floor if self.tol_floor is not None else 2 * l * jnp.finfo(z.dtype).eps
+            # Overridable: 2l*eps(f32) is coarse for large l on the TPU path;
+            # a traced cg.floor (fused-path stall recovery) takes precedence.
+            if cg.floor is not None:
+                floor = cg.floor
+            else:
+                floor = self.tol_floor if self.tol_floor is not None else 2 * l * jnp.finfo(z.dtype).eps
             if self.decreasing_accuracy:
                 tol = decreasing_tolerance(cg.call_idx, floor, z.dtype)
             else:
@@ -149,7 +153,8 @@ class HSDEAffineProjector:
                     unroll=self.cg_unroll, compensated=self.compensated,
                 )
             u = res.x
-            new_cg = CGState(u, jnp.asarray(True), cg.call_idx + 1, res.iters)
+            new_cg = CGState(u, jnp.asarray(True), cg.call_idx + 1, res.iters,
+                             cg.floor)
         v = hsde_ops.q_mul(self.A, self.b, self.c, u)
         return jnp.concatenate([u, v]), new_cg
 
@@ -234,7 +239,7 @@ class AffinePlusLinearProjector:
             zls = jnp.concatenate([x1 - self.q, -(self.beta * x2 + self.b)])
             lam = self.fac.T @ zls  # = R^{-1} Q_f' zls (QR least squares)
             new_cg = CGState(cg.warm, cg.initialized, cg.call_idx + 1,
-                             jnp.asarray(0, jnp.int32))
+                             jnp.asarray(0, jnp.int32), cg.floor)
         else:
             rhs = hsde_ops.mv(self.A, x1 - self.q) - self.beta * x2 - self.b
             warm = jnp.where(cg.initialized, cg.warm, jnp.zeros_like(rhs))
@@ -248,7 +253,8 @@ class AffinePlusLinearProjector:
                 rhs, warm, tol=tol, max_iters=self.cg_max_iters,
             )
             lam = res.x
-            new_cg = CGState(lam, jnp.asarray(True), cg.call_idx + 1, res.iters)
+            new_cg = CGState(lam, jnp.asarray(True), cg.call_idx + 1, res.iters,
+                             cg.floor)
         y1 = x1 - self.q - hsde_ops.rmv(self.A, lam)
         y2 = x2 + self.beta * lam
         return jnp.concatenate([y1, y2]), new_cg

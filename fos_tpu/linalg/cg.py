@@ -16,7 +16,7 @@ form).  Differences by design:
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +42,10 @@ class CGState(NamedTuple):
     initialized: jnp.ndarray   # bool scalar
     call_idx: jnp.ndarray      # int32, starts at 1 like the reference's S.i
     last_iters: jnp.ndarray    # int32
+    #: optional TRACED tolerance-floor override (fused-path gap-stall
+    #: recovery tightens it on device mid-solve); None -> the projector's
+    #: static tol_floor applies
+    floor: Any = None
 
     @staticmethod
     def create(size: int, dtype) -> "CGState":

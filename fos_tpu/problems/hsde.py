@@ -343,6 +343,37 @@ class HSDEForm:
                 and float(chk.d) <= eps * (1.0 + nc)
                 and float(chk.g) > eps * gden)
 
+    def gap_stalled_traced(self, chk: HSDECheck, eps: float):
+        """jit-safe twin of :meth:`gap_stalled` (a bool array, no host
+        syncs) for the fused engine's on-device recovery."""
+        tau = chk.tau
+        safe_tau = jnp.where(tau > 0, tau, 1.0)
+        ctx = chk.ctx / safe_tau
+        bty = chk.bty / safe_tau
+        gden = 1.0 + jnp.abs(ctx) + jnp.abs(bty)
+        return ((chk.status == Status.CONTINUE)
+                & (tau > 0)
+                & (chk.p <= eps * (1.0 + self.norm_b))
+                & (chk.d <= eps * (1.0 + self.norm_c))
+                & (chk.g > eps * gden))
+
+    def fused_cg_floors(self):
+        """(default_floor, tightened_floor) Python floats for the fused
+        engine's on-device recovery, or None when recovery does not apply
+        (direct mode, or an explicit tol_floor already at/below the
+        tightened value)."""
+        s1 = self.sets.s1
+        if getattr(s1, "direct", False) or not hasattr(s1, "tol_floor"):
+            return None
+        import numpy as _np
+
+        eps_dt = float(jnp.finfo(self.dtype).eps)
+        tight = float(_np.sqrt(2.0 * self.l)) * eps_dt
+        cur = s1.tol_floor if s1.tol_floor is not None else 2 * self.l * eps_dt
+        if cur <= tight:
+            return None
+        return float(cur), tight
+
     def tighten_cg(self):
         """Return a copy with a ~sqrt(2l)*eps CG floor (None if not
         applicable): recovers gap-stalled f32 runs — measured: a sparse LP

@@ -126,10 +126,25 @@ def fused_solve(alg, form, x0, *, max_iters: int = 10000, eps: float = 1e-5,
     after the full-chunk loop (the reference runs all max_iters,
     solverwrapper.jl:20-41), followed by the forced final check on the
     solution guess (solverwrapper.jl:32-34).
+
+    Gap-stall recovery runs ON DEVICE here (the chunked engine's host-side
+    form rebuild can't happen inside the while_loop): the CG tolerance
+    floor travels as a traced ``CGState.floor`` scalar, and three
+    consecutive stalled checks (``form.gap_stalled_traced``) tighten it to
+    ``sqrt(2l)*eps`` — per instance under ``vmap``.
     """
+    from fos_tpu.linalg.cg import CGState
+
     nchunks, rem = divmod(max_iters, checki)
     total_chunks = nchunks + (1 if rem else 0)
     st0 = init_solver_state(alg, form.sets, x0)
+    floors = form.fused_cg_floors() if hasattr(form, "fused_cg_floors") else None
+    recovery = (floors is not None and isinstance(st0.s1_state, CGState)
+                and hasattr(form, "gap_stalled_traced"))
+    if recovery:
+        default_floor, tight_floor = floors
+        st0 = st0._replace(s1_state=st0.s1_state._replace(
+            floor=jnp.asarray(default_floor, x0.dtype)))
     chk0 = form.check(st0.z_check, eps, prev=st0.z_check_prev)
     nhist = len(tuple(chk0))
     hist0 = jnp.zeros((total_chunks, nhist), x0.dtype) if record_history else jnp.zeros((0, 0), x0.dtype)
@@ -137,7 +152,7 @@ def fused_solve(alg, form, x0, *, max_iters: int = 10000, eps: float = 1e-5,
     def body(_, s):
         return alg.step(form.sets, s)
 
-    def run_chunk(st, status, k, hist, nsteps):
+    def run_chunk(st, status, k, hist, stall, nsteps):
         """One nsteps-iteration chunk + check, masked by the freeze flag."""
         st_new = jax.lax.fori_loop(0, nsteps, body, st, unroll=unroll)
         chk = form.check(st_new.z_check, eps, prev=st_new.z_check_prev)
@@ -149,25 +164,35 @@ def fused_solve(alg, form, x0, *, max_iters: int = 10000, eps: float = 1e-5,
         st = jax.tree_util.tree_map(
             lambda new, old: jnp.where(cont, new, old), st_new, st)
         status = jnp.where(cont, chk.status, status)
-        return st, status, hist
+        if recovery:
+            stalled = cont & form.gap_stalled_traced(chk, eps)
+            stall = jnp.where(stalled, stall + 1,
+                              jnp.zeros_like(stall))
+            cur = st.s1_state.floor
+            newf = jnp.where((stall >= 3) & (cur > tight_floor),
+                             jnp.asarray(tight_floor, cur.dtype), cur)
+            st = st._replace(s1_state=st.s1_state._replace(floor=newf))
+        return st, status, hist, stall
 
     def chunk_body(carry):
-        st, status, k, hist = carry
-        st, status, hist = run_chunk(st, status, k, hist, checki)
-        return st, status, k + 1, hist
+        st, status, k, hist, stall = carry
+        st, status, hist, stall = run_chunk(st, status, k, hist, stall, checki)
+        return st, status, k + 1, hist, stall
 
     def chunk_cond(carry):
-        _, status, k, _ = carry
+        _, status, k, _, _ = carry
         return (status == Status.CONTINUE) & (k < nchunks)
 
-    st, status, k, hist = jax.lax.while_loop(
+    st, status, k, hist, stall = jax.lax.while_loop(
         chunk_cond, chunk_body,
-        (st0, jnp.asarray(Status.CONTINUE, jnp.int32), jnp.asarray(0, jnp.int32), hist0),
+        (st0, jnp.asarray(Status.CONTINUE, jnp.int32),
+         jnp.asarray(0, jnp.int32), hist0, jnp.asarray(0, jnp.int32)),
     )
     if rem:
         # exact budget: the trailing max_iters % checki iterations (masked
         # out per-instance if already terminated)
-        st, status, hist = run_chunk(st, status, nchunks, hist, rem)
+        st, status, hist, stall = run_chunk(st, status, nchunks, hist, stall,
+                                            rem)
     guess, st = alg.getsol(form.sets, st)
     chk = form.check(guess, eps, prev=st.z_check)
     status = jnp.where(status == Status.CONTINUE, chk.status, status)

@@ -259,3 +259,26 @@ def test_banded_auto_selected_and_solves():
                   dtype=jnp.float32)
     assert sol.status == "Optimal" == sol_d.status
     assert abs(sol.objval - sol_d.objval) < 2e-3 * (1 + abs(sol_d.objval))
+
+
+def test_fused_gap_stall_recovery_on_device():
+    """The fused engine recovers gap stalls ON DEVICE (traced CGState.floor
+    tightened after 3 stalled checks) — previously only the chunked engine
+    recovered, so batched/sharded f32 TPU runs were exposed."""
+    from fos_tpu.solvers.engine import fused_solve
+    from fos_tpu.solvers.status import Status
+
+    A = _rand_sparse(120, 200, 0.05, seed=2)
+    rng = np.random.default_rng(0)
+    x0 = np.abs(rng.standard_normal(200))
+    b = (A @ x0 + np.abs(rng.standard_normal(120))).astype(np.float32)
+    c = np.abs(rng.standard_normal(200)).astype(np.float32)
+    prob = conic_problem(A.astype(np.float32), jnp.asarray(b),
+                         jnp.asarray(c), nonneg(120), nonneg(200))
+    form = HSDEForm.build(prob, densify=False, sparse_format="bcoo")
+    r = fused_solve(DR(), form, form.initial_value(form.dtype),
+                    max_iters=20000, eps=1e-5, checki=100)
+    assert int(r.status) == Status.OPTIMAL
+    # the traced floor must actually have tightened
+    default = 2 * form.l * float(jnp.finfo(jnp.float32).eps)
+    assert float(r.state.s1_state.floor) < 0.1 * default
