@@ -248,7 +248,9 @@ def test_sparse_lowering_scales():
     dt = time.time() - t0
     assert sp.issparse(data["A"])
     assert data["A"].shape == (2 * n + m + 2, 2 * n + 1)
-    assert dt < 5.0, f"lasso lowering took {dt:.1f}s"
+    # generous bound: r2 densified to a 320 GB A (OOM); the guard is
+    # "stays sparse and bounded", not a tight timing (suite-load noise)
+    assert dt < 20.0, f"lasso lowering took {dt:.1f}s"
 
     nn = 256
     C = rng.standard_normal((nn, nn))
@@ -260,7 +262,7 @@ def test_sparse_lowering_scales():
     dt = time.time() - t0
     assert sp.issparse(d2["A"])
     assert c2["s"] == [nn]
-    assert dt < 5.0, f"SDP lowering took {dt:.1f}s"
+    assert dt < 20.0, f"SDP lowering took {dt:.1f}s"
 
 
 def test_sparse_emitted_A_solves(rng, monkeypatch):
