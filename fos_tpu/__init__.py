@@ -54,7 +54,9 @@ from fos_tpu.modeling import (  # noqa: F401
     Variable,
     maximize,
     minimize,
+    norm1,
     norm2,
+    norm_inf,
     sum_squares,
     trace,
 )

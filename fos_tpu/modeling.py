@@ -455,6 +455,50 @@ class SumSquaresAtom(Atom):
         return Constraint("soc", _stack([top, head, vec * 2.0]))
 
 
+class Norm1Atom(Atom):
+    """``||e||_1`` via the standard split: aux u with -u <= e <= u and
+    objective term sum(u) (pure LP rows — no cones needed)."""
+
+    def lower(self):
+        e = self.expr if len(self.expr.shape) == 1 else _flatten(self.expr)
+        u = Variable(e.size, name="_epi_norm1")
+        return u.sum(), [u.__sub__(e) >= 0, u.__add__(e) >= 0]
+
+    def __le__(self, other) -> Constraint:
+        if self.weight != 1.0:
+            raise ValueError("use norm1(e) <= t unweighted in constraints")
+        e = self.expr if len(self.expr.shape) == 1 else _flatten(self.expr)
+        u = Variable(e.size, name="_abs_norm1")
+        ts = _scalar(other, "norm1 bound")
+        return [u.__sub__(e) >= 0, u.__add__(e) >= 0,
+                Constraint("nonneg", ts.__sub__(_scalar(u.sum(), "sum")))]
+
+
+class NormInfAtom(Atom):
+    """``||e||_inf`` via a scalar bound t with -t <= e_i <= t."""
+
+    def lower(self):
+        e = self.expr if len(self.expr.shape) == 1 else _flatten(self.expr)
+        t = Variable((), name="_epi_norminf")
+        tb = _broadcast_scalar(t, e.size)
+        return t, [tb.__sub__(e) >= 0, tb.__add__(e) >= 0]
+
+    def __le__(self, other) -> Constraint:
+        if self.weight != 1.0:
+            raise ValueError("use norm_inf(e) <= t unweighted in constraints")
+        e = self.expr if len(self.expr.shape) == 1 else _flatten(self.expr)
+        tb = _broadcast_scalar(_scalar(other, "norm_inf bound"), e.size)
+        return [tb.__sub__(e) >= 0, tb.__add__(e) >= 0]
+
+
+def _broadcast_scalar(t, n: int) -> AffineExpr:
+    """(n,) copy of a scalar expression (ones-column coefficient blocks)."""
+    ts = _scalar(t, "broadcast")
+    ones = _spmat(np.ones((n, 1)))
+    return AffineExpr((n,), {v: ones @ F for v, F in ts.terms.items()},
+                      np.full(n, float(ts.const[0])))
+
+
 def _flatten(expr: AffineExpr) -> AffineExpr:
     return AffineExpr((expr.size,), expr.terms, expr.const)
 
@@ -465,6 +509,14 @@ def norm2(expr: AffineExpr) -> Norm2Atom:
 
 def sum_squares(expr: AffineExpr) -> SumSquaresAtom:
     return SumSquaresAtom(expr)
+
+
+def norm1(expr: AffineExpr) -> Norm1Atom:
+    return Norm1Atom(expr)
+
+
+def norm_inf(expr: AffineExpr) -> NormInfAtom:
+    return NormInfAtom(expr)
 
 
 class ObjSum:
@@ -518,7 +570,11 @@ class Problem:
         if not isinstance(objective, (minimize, maximize)):
             raise TypeError("objective must be minimize(...) or maximize(...)")
         self.objective = objective
-        self.constraints = list(constraints)
+        self.constraints = []
+        for con in constraints:
+            # atoms' __le__ may lower to several rows (e.g. norm1 <= t)
+            self.constraints.extend(
+                con if isinstance(con, (list, tuple)) else [con])
         for con in self.constraints:
             if not isinstance(con, Constraint):
                 raise TypeError(f"not a constraint: {con!r} (a bare bool "
@@ -534,8 +590,9 @@ class Problem:
         constraints = list(self.constraints)
         affine = _scalar(obj.affine, "objective")
         for atom in obj.atoms:
-            t, con = atom.lower()
-            constraints.append(con)
+            t, cons = atom.lower()
+            constraints.extend([cons] if isinstance(cons, Constraint)
+                               else list(cons))
             affine = affine.__add__(_scalar(t, "epi") * atom.weight)
 
         # deterministic variable order: objective first, then constraints

@@ -291,3 +291,61 @@ def test_sparse_emitted_A_solves(rng, monkeypatch):
     assert dense_prob.status == sparse_prob.status == "Optimal"
     np.testing.assert_allclose(sparse_prob.value, dense_prob.value,
                                rtol=1e-6, atol=1e-6)
+
+
+def test_norm1_lasso_soft_threshold(rng):
+    """min ||x - z||^2 + lam ||x||_1  ->  x* = soft(z, lam/2)."""
+    from fos_tpu.modeling import norm1
+
+    n, lam = 12, 0.8
+    z = rng.standard_normal(n)
+    xstar = np.sign(z) * np.maximum(np.abs(z) - lam / 2, 0.0)
+    x = Variable(n)
+    prob = Problem(minimize(sum_squares(x - z) + lam * norm1(x)), [x <= 10.0])
+    prob.solve(eps=1e-9, max_iters=40000, verbose=0)
+    assert prob.status == "Optimal"
+    np.testing.assert_allclose(np.asarray(x.value), xstar, atol=2e-5)
+    obj_star = float(np.sum((xstar - z) ** 2) + lam * np.abs(xstar).sum())
+    assert abs(prob.value - obj_star) < 1e-5 * (1 + obj_star)
+
+
+def test_norm_inf_objective_and_constraint(rng):
+    """min ||x - z||_inf (unconstrained) -> any minimizer has value 0 when
+    x free; pinned: min ||Ax - g||_inf vs scipy linprog."""
+    from scipy.optimize import linprog
+
+    from fos_tpu.modeling import norm_inf
+
+    m, n = 14, 6
+    A = rng.standard_normal((m, n))
+    g = rng.standard_normal(m)
+    # linprog oracle: min t s.t. -t <= (Ax - g)_i <= t
+    Aub = np.block([[A, -np.ones((m, 1))], [-A, -np.ones((m, 1))]])
+    bub = np.concatenate([g, -g])
+    ref = linprog(np.r_[np.zeros(n), 1.0], A_ub=Aub, b_ub=bub,
+                  bounds=(None, None))
+    assert ref.status == 0
+    x = Variable(n)
+    prob = Problem(minimize(norm_inf(A @ x - g)), [x <= 100.0, -100.0 <= x])
+    prob.solve(eps=1e-9, max_iters=40000, verbose=0)
+    assert prob.status == "Optimal"
+    assert abs(prob.value - ref.fun) < 1e-5 * (1 + abs(ref.fun))
+
+    # constraint form: norm1(x) <= t lowering (list of rows) solves too
+    from fos_tpu.modeling import norm1
+
+    c = np.abs(rng.standard_normal(n)) + 0.1
+    x2 = Variable(n)
+    prob2 = Problem(minimize(-(c @ x2)), [norm1(x2) <= 1.0])
+    prob2.solve(eps=1e-9, max_iters=40000, verbose=0)
+    assert prob2.status == "Optimal"
+    # max c'x over the l1 ball = max_i |c_i|
+    assert abs(-prob2.value - np.abs(c).max()) < 1e-5 * (1 + np.abs(c).max())
+    # norm_inf constraint: max c'x s.t. ||x||_inf <= 1 = sum |c|
+    from fos_tpu.modeling import norm_inf as ninf
+
+    x3 = Variable(n)
+    prob3 = Problem(minimize(-(c @ x3)), [ninf(x3) <= 1.0])
+    prob3.solve(eps=1e-9, max_iters=40000, verbose=0)
+    assert prob3.status == "Optimal"
+    assert abs(-prob3.value - np.abs(c).sum()) < 1e-5 * (1 + np.abs(c).sum())
