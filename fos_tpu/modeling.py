@@ -145,7 +145,8 @@ class AffineExpr:
 
     def __sub__(self, other):
         if isinstance(other, (Atom, ObjSum)):
-            raise TypeError("cannot subtract an atom (nonconvex)")
+            # affine - convex = concave: legal inside maximize(...)
+            return ObjSum._wrap(self) + ObjSum._wrap(other).negated()
         return self.__add__(self._coerce(other).__neg__())
 
     def __rsub__(self, other):
@@ -398,9 +399,8 @@ class Atom:
         self.weight = float(weight)
 
     def scaled(self, s: float) -> "Atom":
-        if s < 0:
-            raise ValueError("atoms must enter the objective with weight >= 0"
-                             " (convexity)")
+        # negative weights are legal DSL objects (a CONCAVE term); the sign
+        # is validated at minimize/maximize time, where convexity is known
         return type(self)(self.expr, self.weight * s)
 
     def __mul__(self, s):
@@ -408,10 +408,19 @@ class Atom:
 
     __rmul__ = __mul__
 
+    def __neg__(self):
+        return self.scaled(-1.0)
+
     def __add__(self, other):
         return ObjSum._wrap(self) + other
 
     __radd__ = __add__
+
+    def __sub__(self, other):
+        return ObjSum._wrap(self) + ObjSum._wrap(other).negated()
+
+    def __rsub__(self, other):
+        return ObjSum._wrap(other) + ObjSum._wrap(self).negated()
 
     def lower(self) -> Tuple[Variable, Constraint]:  # pragma: no cover
         raise NotImplementedError
@@ -544,20 +553,36 @@ class ObjSum:
 
     __radd__ = __add__
 
+    def __sub__(self, other):
+        return self + ObjSum._wrap(other).negated()
+
+    def negated(self) -> "ObjSum":
+        return ObjSum(_scalar(self.affine, "objective").__neg__(),
+                      [a.scaled(-1.0) for a in self.atoms])
+
 
 class minimize:  # noqa: N801 - DSL keyword style, as in Convex.jl
     def __init__(self, objective):
         self.obj = ObjSum._wrap(objective)
+        if any(a.weight < 0 for a in self.obj.atoms):
+            raise ValueError(
+                "minimize with a negative-weight (concave) atom is "
+                "nonconvex; write the problem as maximize(...)")
         self.sign = 1.0
 
 
 class maximize:  # noqa: N801
     def __init__(self, objective):
-        if isinstance(objective, (Atom, ObjSum)):
-            raise ValueError("maximize supports affine objectives only "
-                             "(maximizing a convex atom is nonconvex)")
-        self.obj = ObjSum._wrap(-objective if isinstance(objective, AffineExpr)
-                                else -np.asarray(objective, float))
+        if isinstance(objective, (Atom, ObjSum, AffineExpr)):
+            obj = ObjSum._wrap(objective)
+        else:
+            obj = ObjSum._wrap(np.asarray(objective, float))
+        self.obj = obj.negated()   # maximize f == minimize -f
+        if any(a.weight < 0 for a in self.obj.atoms):
+            raise ValueError(
+                "maximizing a convex atom is nonconvex (atoms may only "
+                "enter maximize(...) subtracted, e.g. "
+                "maximize(c @ x - sum_squares(x)))")
         self.sign = -1.0
 
 

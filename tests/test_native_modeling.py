@@ -349,3 +349,27 @@ def test_norm_inf_objective_and_constraint(rng):
     prob3.solve(eps=1e-9, max_iters=40000, verbose=0)
     assert prob3.status == "Optimal"
     assert abs(-prob3.value - np.abs(c).sum()) < 1e-5 * (1 + np.abs(c).sum())
+
+
+def test_maximize_concave_objective(rng):
+    """maximize(c @ x - gamma*sum_squares(x)) — the concave form users
+    write (previously only minimize(-c@x + ...) was accepted).  Oracle:
+    unconstrained-in-the-interior maximizer x* = c / (2 gamma)."""
+    from fos_tpu.modeling import norm1
+
+    n, gamma = 6, 2.0
+    c = rng.standard_normal(n) * 0.5
+    x = Variable(n)
+    prob = Problem(maximize(c @ x - gamma * sum_squares(x)),
+                   [x <= 10.0, -10.0 <= x])
+    prob.solve(eps=1e-9, max_iters=40000, verbose=0)
+    assert prob.status == "Optimal"
+    np.testing.assert_allclose(np.asarray(x.value), c / (2 * gamma),
+                               atol=2e-6)
+    assert abs(prob.value - float(c @ c) / (4 * gamma)) < 1e-6
+
+    # invalid forms stay loud
+    with pytest.raises(ValueError, match="nonconvex"):
+        maximize(sum_squares(x))
+    with pytest.raises(ValueError, match="nonconvex"):
+        minimize(c @ x - norm1(x))
