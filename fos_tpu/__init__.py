@@ -57,6 +57,7 @@ from fos_tpu.modeling import (  # noqa: F401
     norm1,
     norm2,
     norm_inf,
+    quad_form,
     sum_squares,
     trace,
 )

@@ -18,8 +18,10 @@ Scope (deliberately the reference's working set, not a CVXPY clone):
 * constraints — ``==``, ``>=``, ``<=`` (elementwise), ``norm2(e) <= t``
   (SOC), ``X >> 0`` (PSD, scaled-svec rows), ``ExpCone(x, y, z)``,
   ``PowCone(x, y, z, alpha)``;
-* objective atoms — ``norm2`` and ``sum_squares`` epigraphs, plus any
-  affine expression; ``minimize`` / ``maximize`` (affine only).
+* objective atoms — ``norm2`` / ``sum_squares`` / ``norm1`` / ``norm_inf``
+  / ``quad_form`` epigraphs, plus any affine expression; ``minimize``
+  (convex) and ``maximize`` (concave: affine minus atoms, e.g.
+  ``maximize(mu @ w - gamma * quad_form(w, Sigma))``).
 
 Lowering puts every variable in the free cone and all structure in the
 constraint rows ``s = b - Ax`` in SCS row order (z, l, q, s, ep, p) —
@@ -526,6 +528,25 @@ def norm1(expr: AffineExpr) -> Norm1Atom:
 
 def norm_inf(expr: AffineExpr) -> NormInfAtom:
     return NormInfAtom(expr)
+
+
+def quad_form(expr: AffineExpr, P) -> SumSquaresAtom:
+    """``expr' P expr`` for PSD constant P, lowered as
+    ``sum_squares(R expr)`` with ``P = R'R`` (eigendecomposition at model
+    time; tiny negative eigenvalues from symmetrization noise are clipped,
+    genuinely indefinite P raises)."""
+    P = np.asarray(P, float)
+    if len(expr.shape) != 1 or P.shape != (expr.size, expr.size):
+        raise ValueError(f"quad_form needs a vector expr and a matching "
+                         f"square P, got {expr.shape} and {P.shape}")
+    Ps = (P + P.T) / 2
+    w, V = np.linalg.eigh(Ps)
+    tol = -1e-10 * max(1.0, float(np.abs(w).max()))
+    if w.min() < tol:
+        raise ValueError(f"quad_form P must be PSD (min eigenvalue "
+                         f"{w.min():.3e})")
+    R = (V * np.sqrt(np.clip(w, 0.0, None))) @ V.T   # symmetric sqrt
+    return SumSquaresAtom(R @ expr)
 
 
 class ObjSum:

@@ -373,3 +373,29 @@ def test_maximize_concave_objective(rng):
         maximize(sum_squares(x))
     with pytest.raises(ValueError, match="nonconvex"):
         minimize(c @ x - norm1(x))
+
+
+def test_quad_form_markowitz(rng):
+    """maximize(mu'w - gamma w'Sigma w) s.t. sum w = 1, w >= 0 vs SLSQP."""
+    from scipy.optimize import minimize as sp_min
+
+    from fos_tpu.modeling import quad_form
+
+    n, gamma = 7, 4.0
+    F = rng.standard_normal((n, n))
+    Sigma = F @ F.T / n + 0.05 * np.eye(n)
+    mu = rng.standard_normal(n) * 0.2
+    w = Variable(n)
+    prob = Problem(maximize(mu @ w - gamma * quad_form(w, Sigma)),
+                   [w.sum() == 1.0, w >= 0])
+    prob.solve(eps=1e-9, max_iters=60000, verbose=0)
+    assert prob.status == "Optimal"
+    ref = sp_min(lambda v: -(mu @ v) + gamma * v @ Sigma @ v,
+                 np.ones(n) / n, method="SLSQP",
+                 bounds=[(0, None)] * n,
+                 constraints=[{"type": "eq", "fun": lambda v: v.sum() - 1}])
+    assert ref.success
+    assert abs(prob.value - (-ref.fun)) < 1e-6 * (1 + abs(ref.fun))
+
+    with pytest.raises(ValueError, match="PSD"):
+        quad_form(w, -np.eye(n))
