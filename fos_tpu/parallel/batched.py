@@ -72,15 +72,26 @@ def build_batched_form(A, b, c, K1: ConeSpec, K2: ConeSpec, *, direct=False,
                                              "record_history", "unroll"))
 def solve_batched(alg, form: HSDEForm, *, max_iters: int = 10000,
                   eps: float = 1e-5, checki: int = 100,
-                  record_history: bool = False, unroll: int = 1) -> FusedResult:
-    """vmap the fused solver over the leading batch axis of ``form``."""
+                  record_history: bool = False, unroll: int = 1,
+                  initx=None) -> FusedResult:
+    """vmap the fused solver over the leading batch axis of ``form``.
+
+    ``initx``: optional ``(B, 2l)`` warm-start iterates (e.g. a previous
+    batch's ``result.state.x`` for parametric sweeps — the batched twin of
+    ``solve(..., warm_start=prev)``)."""
     B = form.b.shape[0]
     l = form.n + form.m + 1
-    x0 = (
-        jnp.zeros((B, 2 * l), form.b.dtype)
-        .at[:, l - 1].set(1.0)
-        .at[:, 2 * l - 1].set(1.0)
-    )
+    if initx is not None:
+        x0 = jnp.asarray(initx, form.b.dtype)
+        if x0.shape != (B, 2 * l):
+            raise ValueError(f"initx must be (B, 2l) = {(B, 2 * l)}, "
+                             f"got {x0.shape}")
+    else:
+        x0 = (
+            jnp.zeros((B, 2 * l), form.b.dtype)
+            .at[:, l - 1].set(1.0)
+            .at[:, 2 * l - 1].set(1.0)
+        )
 
     def one(form_i, x0_i):
         return fused_solve(alg, form_i, x0_i, max_iters=max_iters, eps=eps,

@@ -336,3 +336,24 @@ def test_row_sharding_square_problem(rng):
     x_s = np.asarray(res_sh.guess[:n] / res_sh.guess[l - 1])
     op, os_ = float(c @ x_p), float(c @ x_s)
     assert abs(op - os_) <= 1e-4 * (1 + abs(op))
+
+
+def test_batched_warm_start(rng):
+    """initx on solve_batched: warm-starting a perturbed batch from the
+    previous solution converges with fewer sweeps (the batched twin of
+    solve(..., warm_start=prev))."""
+    A, b, c = _lp_batch(np.random.default_rng(7), B=3, m=16, n=24)
+    m, n = A.shape[1:]
+    form = build_batched_form(A, b, c, nonneg(m), nonneg(n))
+    res = solve_batched(GAPA(0.8, 0.9), form, max_iters=20000, eps=1e-7,
+                        checki=100)
+    assert np.all(np.asarray(res.status) == Status.OPTIMAL)
+    # perturb b slightly; warm-start from the previous raw iterates
+    form2 = build_batched_form(A, b * 1.001, c, nonneg(m), nonneg(n))
+    warm = solve_batched(GAPA(0.8, 0.9), form2, max_iters=20000, eps=1e-7,
+                         checki=100, initx=res.state.x)
+    cold = solve_batched(GAPA(0.8, 0.9), form2, max_iters=20000, eps=1e-7,
+                         checki=100)
+    assert np.all(np.asarray(warm.status) == Status.OPTIMAL)
+    assert int(np.max(np.asarray(warm.iters))) <= \
+        int(np.max(np.asarray(cold.iters)))
