@@ -1,7 +1,12 @@
 """SOCP lasso: min 1/2 ||Ax - b||^2 + lam * ||x||_1.
 
-Conic form (BASELINE.json config "FISTA + GAPP ... SOCP lasso"): split
-x = xp - xm with xp, xm >= 0, epigraph t >= ||Ax - b||^2 via rotated SOC.
+Two routes to the same answer:
+
+* hand-built conic form (BASELINE.json config "FISTA + GAPP ... SOCP
+  lasso"): split x = xp - xm with xp, xm >= 0, epigraph t >= ||Ax - b||^2
+  via rotated SOC;
+* the modeling DSL one-liner:
+  ``minimize(0.5 * sum_squares(A @ x - b) + lam * norm1(x))``.
 """
 
 import os
@@ -71,7 +76,30 @@ def main(alg=None):
     return sol
 
 
+def main_dsl():
+    """Same lasso through the modeling layer (norm1 atom)."""
+    from fos_tpu import Problem, Variable, minimize, norm1, sum_squares
+
+    rng = np.random.default_rng(0)
+    m, n = 60, 120
+    A = rng.standard_normal((m, n)) / np.sqrt(m)
+    xtrue = np.zeros(n)
+    xtrue[rng.choice(n, 8, replace=False)] = rng.standard_normal(8) * 3
+    b = A @ xtrue + 0.01 * rng.standard_normal(m)
+    lam = 0.05
+
+    x = Variable(n)
+    prob = Problem(minimize(0.5 * sum_squares(A @ x - b) + lam * norm1(x)))
+    prob.solve(alg=DR(), eps=1e-7, max_iters=40000, verbose=0)
+    xs = np.asarray(x.value)
+    obj = 0.5 * np.sum((A @ xs - b) ** 2) + lam * np.abs(xs).sum()
+    print(f"DSL (norm1 atom): status={prob.status} obj={obj:.8f} "
+          f"nnz={np.sum(np.abs(xs) > 1e-4)}")
+    return prob
+
+
 if __name__ == "__main__":
-    main()
+    sol = main()
     main(alg=FISTA())
     main(alg=DR())
+    prob = main_dsl()
