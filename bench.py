@@ -142,19 +142,12 @@ def _banded_bell_problem(nrb=256, seed=17):
     op = BlockedEllOp(blocks, jnp.asarray(cols, jnp.int32),
                       blocks_t, jnp.asarray(cols, jnp.int32), m, n,
                       interpret=interp)
-    # banded layout of the SAME tiles (contiguous window [cs_i, cs_i + 3)):
-    # middle rows already sit at slots (low, diag, up) = window order; the
-    # first/last rows shift so slots line up with cs = clip(i-1, 0, nrb-3)
-    from fos_tpu.linalg.sparse_ell import BandedBlockOp
+    # banded layout of the SAME tiles (contiguous window [cs_i, cs_i + 3))
+    from fos_tpu.linalg.sparse_ell import BandedBlockOp, tridiag_band_layout
 
-    def _bandify(blk):
-        blk = blk.at[0].set(jnp.roll(blk[0], -1, axis=0).at[2].set(0.0))
-        blk = blk.at[-1].set(jnp.roll(blk[-1], 1, axis=0).at[0].set(0.0))
-        return blk
-
-    cs = np.clip(np.arange(nrb) - 1, 0, nrb - 3).astype(np.int32)
-    op_band = BandedBlockOp(_bandify(blocks), jnp.asarray(cs),
-                            _bandify(blocks_t), jnp.asarray(cs), m, n,
+    blocks_band, cs = tridiag_band_layout(blocks)
+    blocks_t_band, _ = tridiag_band_layout(blocks_t)
+    op_band = BandedBlockOp(blocks_band, cs, blocks_t_band, cs, m, n,
                             interpret=interp)
     # primal-dual certificate LP
     x0 = jnp.abs(jax.random.normal(kx, (n,), jnp.float32))

@@ -224,7 +224,10 @@ def _build_ell_arrays(m, n, rows, cols, vals, bm, bn):
     blocks = np.zeros((nrb, kmax, bm, bn), np.float32)
     cols_tab = np.zeros((nrb, kmax), np.int32)
     cols_tab[uti, slot] = utj.astype(np.int32)
-    blocks[uti[inv], slot[inv], rows - ti * bm, cols - tj * bn] = vals
+    # np.add.at: duplicate COO indices SUM (BCOO semantics; fancy
+    # assignment would silently keep only the last duplicate)
+    np.add.at(blocks, (uti[inv], slot[inv], rows - ti * bm, cols - tj * bn),
+              vals)
     return blocks, cols_tab, counts
 
 
@@ -244,8 +247,23 @@ def _build_band_arrays(m, n, rows, cols, vals, bm, bn):
     S = max(int((hi - lo + 1).max()) if rows.size else 1, 1)
     blocks = np.zeros((nrb, S, bm, bn), np.float32)
     if rows.size:
-        blocks[ti, tj - lo[ti], rows - ti * bm, cols - tj * bn] = vals
+        # duplicates SUM (BCOO semantics), as in _build_ell_arrays
+        np.add.at(blocks, (ti, tj - lo[ti], rows - ti * bm, cols - tj * bn),
+                  vals)
     return blocks, lo.astype(np.int32), S
+
+
+def tridiag_band_layout(blocks):
+    """Convert block-tridiagonal ELL slots ``[low, diag, up]`` (cols
+    ``clip(i-1..i+1)``, edge tiles zeroed) to the banded layout: slots
+    line up with windows ``cs_i = clip(i - 1, 0, nrb - 3)`` — the first
+    row shifts left, the last shifts right.  Shared by bench.py and
+    tools/spmv_probe.py (device-side builders)."""
+    blk = blocks.at[0].set(jnp.roll(blocks[0], -1, axis=0).at[2].set(0.0))
+    blk = blk.at[-1].set(jnp.roll(blocks[-1], 1, axis=0).at[0].set(0.0))
+    nrb = blocks.shape[0]
+    cs = np.clip(np.arange(nrb) - 1, 0, nrb - 3).astype(np.int32)
+    return blk, jnp.asarray(cs)
 
 
 def band_span_ratio(A, bm=128, bn=128) -> float:
@@ -256,10 +274,10 @@ def band_span_ratio(A, bm=128, bn=128) -> float:
     if rows.size == 0:
         return 1.0
 
-    def one(r, c, mm):
-        nrb = _pad8(math.ceil(mm / bm))
-        ti = r // bm
-        tj = c // bn
+    def one(r, c, mm, br, bc):
+        nrb = _pad8(math.ceil(mm / br))
+        ti = r // br
+        tj = c // bc
         lo = np.full(nrb, np.iinfo(np.int64).max, np.int64)
         hi = np.full(nrb, -1, np.int64)
         np.minimum.at(lo, ti, tj)
@@ -270,7 +288,8 @@ def band_span_ratio(A, bm=128, bn=128) -> float:
         cnt = int(np.bincount(upair // ncb_tiles, minlength=nrb).max())
         return span / max(cnt, 1)
 
-    return max(one(rows, cols, m), one(cols, rows, n))
+    # the transpose layout blocks rows by bn and columns by bm
+    return max(one(rows, cols, m, bm, bn), one(cols, rows, n, bn, bm))
 
 
 @jax.tree_util.register_pytree_node_class

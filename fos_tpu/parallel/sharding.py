@@ -78,11 +78,14 @@ def _rebuild_row_sharded(form, put_A, put_b, put_c, put_rest):
     the S1 projector's are (A, b, c, fac)), NOT on leaf shapes — so square
     problems (m == n) shard correctly too (r2 weak item 3)."""
     s1 = form.sets.s1
-    if not (hasattr(s1.A, "ndim") or s1.A is None):
+    if s1.A is not None and (hasattr(s1.A, "todense")
+                             or not hasattr(s1.A, "ndim")):
+        # BCOO also has .ndim, so a dense-duck check alone lets it through
+        # to an opaque device_put shape error on its (nnz,)-shaped leaves
         raise ValueError(
             f"row sharding supports dense A only (got {type(s1.A).__name__});"
-            " sparse operators carry their own tile layout — shard the raw "
-            "data with shard_problem_2d before building the form instead")
+            " sparse data carries its own layout — shard the raw data with "
+            "shard_problem_2d before building the form instead")
     ch, aux = s1.tree_flatten()          # (A, b, c, fac, ...)
     A, b, c, fac = ch[0], ch[1], ch[2], ch[3]
     s1n = type(s1).tree_unflatten(

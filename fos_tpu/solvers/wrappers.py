@@ -71,13 +71,20 @@ class LineSearchWrapper(Algorithm):
             alphas = 0.1 * 1.8 ** jnp.arange(1, 32, dtype=st.x.dtype)
             cands = x_prev[None, :] + alphas[:, None] * res[None, :]
 
-            if getattr(sets.s1, "projection_is_affine", False):
+            if (getattr(sets.s1, "projection_is_affine", False)
+                    and getattr(sets.s1, "direct", False)):
                 # gap.jl:42-51 constinit role: the relaxed S1 map is AFFINE,
                 # so the 31 probe S1 projections collapse to 1-2 evaluations:
                 # relaxed_s1(x + a*res) = relaxed_s1(x) + a*(relaxed_s1(res)
                 # - relaxed_s1(0)), and relaxed_s1(x) = tmp2 is already in
                 # hand from the real step.  Offset-free sets (the HSDE
-                # subspace) skip the zero term entirely.
+                # subspace) skip the zero term entirely.  DIRECT mode only:
+                # with CG projections the identity holds only to cg_tol, and
+                # the extrapolation multiplies that error by alpha (up to
+                # 0.1*1.8^31 ~ 8e6) — late-solve probes would misrank and
+                # kick the iterate off the fixed point (measured: y1 error
+                # 1e-5 -> 8e+1 across the grid); CG probes stay exact
+                # per-candidate, as in the reference.
                 s1_res, _ = inner.relaxed_s1(sets, res, s1_state, st.aux)
                 if getattr(sets.s1, "projection_offset_free", False):
                     dirn = s1_res

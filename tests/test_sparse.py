@@ -282,3 +282,38 @@ def test_fused_gap_stall_recovery_on_device():
     # the traced floor must actually have tightened
     default = 2 * form.l * float(jnp.finfo(jnp.float32).eps)
     assert float(r.state.s1_state.floor) < 0.1 * default
+
+
+def test_duplicate_coo_entries_sum():
+    """BCOO semantics: duplicate indices SUM; the ELL/banded builders must
+    not silently keep only the last duplicate (code-review r3)."""
+    from fos_tpu.linalg.sparse_ell import BandedBlockOp
+
+    idx = np.array([[0, 0], [0, 0], [1, 2]])
+    data = np.array([1.0, 2.0, 0.5], np.float32)
+    A = BCOO((jnp.asarray(data), jnp.asarray(idx)), shape=(4, 4))
+    dense = np.asarray(A.todense())   # BCOO todense sums: A[0,0] == 3
+    assert dense[0, 0] == 3.0
+    x = np.array([1.0, 0.0, 0.0, 0.0], np.float32)
+    for op_cls in (BlockedEllOp, BandedBlockOp):
+        op = op_cls.create(A)
+        np.testing.assert_allclose(np.asarray(op.mv(jnp.asarray(x))),
+                                   dense @ x, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(op.rmv(jnp.asarray(np.ones(4, np.float32)))),
+            dense.T @ np.ones(4), atol=1e-6)
+
+
+def test_row_sharding_rejects_sparse_operators():
+    """BCOO has .ndim, so the dense-duck guard must check .todense too
+    (code-review r3: previously crashed inside device_put)."""
+    import pytest
+
+    from fos_tpu.parallel import make_mesh, shard_problem_rows
+
+    A = _rand_sparse(24, 16, 0.2, seed=1)
+    prob = conic_problem(A, np.ones(24), np.ones(16), nonneg(24), nonneg(16))
+    form = HSDEForm.build(prob, densify=False)
+    mesh = make_mesh((1, len(jax.devices())), ("batch", "model"))
+    with pytest.raises(ValueError, match="shard_problem_2d"):
+        shard_problem_rows(form, mesh)

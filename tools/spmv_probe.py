@@ -28,7 +28,8 @@ import jax.numpy as jnp
 
 def _tridiag_ops(nrb, bs=128, seed=7):
     from fos_tpu.config import is_tpu_backend
-    from fos_tpu.linalg.sparse_ell import BandedBlockOp, BlockedEllOp
+    from fos_tpu.linalg.sparse_ell import (BandedBlockOp, BlockedEllOp,
+                                           tridiag_band_layout)
 
     interp = not is_tpu_backend()
     key = jax.random.PRNGKey(seed)
@@ -47,14 +48,8 @@ def _tridiag_ops(nrb, bs=128, seed=7):
                        blocks, jnp.asarray(cols, jnp.int32), m, n,
                        interpret=interp)  # symmetric-shape probe: reuse tiles
 
-    def _bandify(blk):
-        blk = blk.at[0].set(jnp.roll(blk[0], -1, axis=0).at[2].set(0.0))
-        blk = blk.at[-1].set(jnp.roll(blk[-1], 1, axis=0).at[0].set(0.0))
-        return blk
-
-    cs = np.clip(np.arange(nrb) - 1, 0, nrb - 3).astype(np.int32)
-    band = BandedBlockOp(_bandify(blocks), jnp.asarray(cs),
-                         _bandify(blocks), jnp.asarray(cs), m, n,
+    blocks_band, cs = tridiag_band_layout(blocks)
+    band = BandedBlockOp(blocks_band, cs, blocks_band, cs, m, n,
                          interpret=interp)
     tile_bytes = int(blocks.size) * 4
     return ell, band, tile_bytes, m, n
