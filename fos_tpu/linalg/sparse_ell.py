@@ -503,6 +503,131 @@ def bell_storage_ratio(A, bm=128, bn=128) -> float:
     return ((nrb * kmax + ncb * kmax_t) * bm * bn) / float(m * n)
 
 
+@jax.tree_util.register_pytree_node_class
+class RowShardedOp:
+    """Multi-chip wrapper for a :class:`BandedBlockOp` / :class:`BlockedEllOp`:
+    tile arrays (the big data) are sharded by block-row over a mesh axis,
+    ``mv``/``rmv`` run the LOCAL Pallas kernel per device under
+    ``shard_map`` and all-gather the (small, O(m)+O(n)) result vectors.
+    x/y stay replicated — the communication pattern of SURVEY.md §5 with
+    the matvec itself kept out of GSPMD's hands (a ``pallas_call`` is
+    opaque to the partitioner; ``shard_map`` makes the split explicit).
+
+    Both the A and A' tile tables are sharded along their OWN row axes, so
+    neither direction needs a reduction — one tiled all-gather each.
+    """
+
+    def __init__(self, inner, mesh, axis: str = "model"):
+        self.inner = inner
+        self.mesh = mesh
+        self.axis = axis
+
+    def tree_flatten(self):
+        return (self.inner,), (self.mesh, self.axis)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+    @classmethod
+    def create(cls, op, mesh, axis: str = "model"):
+        """Place ``op``'s tile leaves: forward tables P(axis, ...), shapes
+        must divide evenly over the axis (the builders pad block rows to a
+        multiple of 8, which covers meshes up to 8 wide)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ndev = mesh.shape[axis]
+        if op.blocks.shape[0] % ndev or op.blocks_t.shape[0] % ndev:
+            raise ValueError(
+                f"block-row counts {op.blocks.shape[0]} / "
+                f"{op.blocks_t.shape[0]} must divide the {ndev}-way "
+                f"'{axis}' axis")
+
+        def put(x, spec):
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        ch, aux = op.tree_flatten()   # (blocks, idx, blocks_t, idx_t)
+        row = P(axis, *([None] * (ch[0].ndim - 1)))
+        rowt = P(axis, *([None] * (ch[2].ndim - 1)))
+        idx_spec = P(axis, *([None] * (ch[1].ndim - 1)))
+        idxt_spec = P(axis, *([None] * (ch[3].ndim - 1)))
+        inner = type(op).tree_unflatten(aux, (
+            put(ch[0], row), put(ch[1], idx_spec),
+            put(ch[2], rowt), put(ch[3], idxt_spec)))
+        return cls(inner, mesh, axis)
+
+    # -- protocol ----------------------------------------------------
+    @property
+    def shape(self):
+        return self.inner.shape
+
+    @property
+    def m(self):
+        return self.inner.m
+
+    @property
+    def n(self):
+        return self.inner.n
+
+    @property
+    def dtype(self):
+        return self.inner.dtype
+
+    def _sharded_kernel(self, idx, blocks, xb):
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        interpret = self.inner.interpret
+        kernel = (_band_mv if isinstance(self.inner, BandedBlockOp)
+                  else _bell_mv)
+
+        def local(idx_l, blocks_l, xb_l):
+            y = kernel(idx_l, blocks_l, xb_l, interpret=interpret)
+            return jax.lax.all_gather(y, self.axis, axis=0, tiled=True)
+
+        nd1 = blocks.ndim - 1
+        return shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(self.axis, *([None] * (idx.ndim - 1))),
+                      P(self.axis, *([None] * nd1)), P(None, None)),
+            out_specs=P(None, None), check_vma=False,
+        )(idx, blocks, xb)
+
+    def mv(self, x):
+        inner = self.inner
+        if isinstance(inner, BandedBlockOp):
+            ncb = inner.blocks_t.shape[0]
+            S = inner.blocks.shape[1]
+            xb = inner._pad_x(x, ncb, inner.bn, S)
+            y = self._sharded_kernel(inner.cs, inner.blocks, xb)
+        else:
+            ncb = inner.blocks_t.shape[0]
+            xb = inner._pad(x, ncb, inner.bn)
+            y = self._sharded_kernel(inner.cols, inner.blocks, xb)
+        return y.reshape(-1)[: inner.m]
+
+    def rmv(self, y):
+        inner = self.inner
+        if isinstance(inner, BandedBlockOp):
+            nrb = inner.blocks.shape[0]
+            S_t = inner.blocks_t.shape[1]
+            yb = inner._pad_x(y, nrb, inner.bm, S_t)
+            z = self._sharded_kernel(inner.cs_t, inner.blocks_t, yb)
+        else:
+            nrb = inner.blocks.shape[0]
+            yb = inner._pad(y, nrb, inner.bm)
+            z = self._sharded_kernel(inner.cols_t, inner.blocks_t, yb)
+        return z.reshape(-1)[: inner.n]
+
+    def todense(self):
+        return self.inner.todense()
+
+    def astype(self, dtype):
+        if jnp.dtype(dtype) == jnp.float32:
+            return self
+        raise TypeError("RowShardedOp is f32-only (TPU kernel dtype)")
+
+
 def _coo_parts(A):
     """Extract (rows, cols, vals, m, n) from scipy.sparse or BCOO."""
     if hasattr(A, "tocoo"):  # scipy.sparse

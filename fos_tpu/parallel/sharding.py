@@ -84,8 +84,10 @@ def _rebuild_row_sharded(form, put_A, put_b, put_c, put_rest):
         # to an opaque device_put shape error on its (nnz,)-shaped leaves
         raise ValueError(
             f"row sharding supports dense A only (got {type(s1.A).__name__});"
-            " sparse data carries its own layout — shard the raw data with "
-            "shard_problem_2d before building the form instead")
+            " for sparse data either shard the raw matrix with "
+            "shard_problem_2d before building the form, or wrap a "
+            "BlockedEllOp/BandedBlockOp in parallel.RowShardedOp (tile "
+            "tables sharded, local Pallas kernels under shard_map)")
     ch, aux = s1.tree_flatten()          # (A, b, c, fac, ...)
     A, b, c, fac = ch[0], ch[1], ch[2], ch[3]
     s1n = type(s1).tree_unflatten(

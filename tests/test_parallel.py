@@ -357,3 +357,60 @@ def test_batched_warm_start(rng):
     assert np.all(np.asarray(warm.status) == Status.OPTIMAL)
     assert int(np.max(np.asarray(warm.iters))) <= \
         int(np.max(np.asarray(cold.iters)))
+
+
+def test_row_sharded_sparse_op(rng):
+    """RowShardedOp: tile tables sharded over the model axis, local Pallas
+    kernels under shard_map, one tiled all-gather per matvec — the
+    multi-chip story for blocked-ELL/banded A (previously the sharding
+    layer could only punt to shard_problem_2d for sparse data)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import scipy.sparse as sp
+
+    from fos_tpu.linalg.sparse_ell import (BandedBlockOp, BlockedEllOp,
+                                           RowShardedOp)
+
+    # banded 2048x2048 (16 block rows -> 2 per device)
+    m = n = 2048
+    diags = [np.ones(m - abs(o)) * (1.0 + o) for o in (-130, 0, 130)]
+    A = sp.diags(diags, offsets=[-130, 0, 130], shape=(m, n),
+                 format="csr").astype(np.float32)
+    mesh = make_mesh((1, 8), ("batch", "model"))
+    x = rng.standard_normal(n).astype(np.float32)
+    y = rng.standard_normal(m).astype(np.float32)
+    for cls in (BandedBlockOp, BlockedEllOp):
+        op = cls.create(A, interpret=True)
+        sh = RowShardedOp.create(op, mesh, "model")
+        np.testing.assert_allclose(np.asarray(sh.mv(jnp.asarray(x))),
+                                   np.asarray(op.mv(jnp.asarray(x))),
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(sh.rmv(jnp.asarray(y))),
+                                   np.asarray(op.rmv(jnp.asarray(y))),
+                                   atol=2e-4)
+
+    # end-to-end: a short fused budget with the sharded operator must
+    # track the unsharded residuals (interpret-mode Pallas is slow on CPU,
+    # so the budget is small — the full convergence behavior is covered by
+    # the unsharded banded solve tests)
+    from fos_tpu.problems.conic import ConicProblem
+
+    rng2 = np.random.default_rng(0)
+    x0 = np.abs(rng2.standard_normal(n)).astype(np.float32)
+    b = (A @ x0 + np.abs(rng2.standard_normal(m))).astype(np.float32)
+    c = (np.abs(rng2.standard_normal(n)) + 0.1).astype(np.float32)
+    op = BandedBlockOp.create(A, interpret=True)
+    sh = RowShardedOp.create(op, mesh, "model")
+    form_p = HSDEForm.build(ConicProblem(op, jnp.asarray(b), jnp.asarray(c),
+                                         nonneg(m), nonneg(n)),
+                            densify=False)
+    form_s = HSDEForm.build(ConicProblem(sh, jnp.asarray(b), jnp.asarray(c),
+                                         nonneg(m), nonneg(n)),
+                            densify=False)
+    rp = fused_solve(DR(), form_p, form_p.initial_value(form_p.dtype),
+                     max_iters=200, eps=1e-5, checki=100)
+    rs = fused_solve(DR(), form_s, form_s.initial_value(form_s.dtype),
+                     max_iters=200, eps=1e-5, checki=100)
+    assert int(rs.status) == int(rp.status)
+    assert float(rs.check.p) <= 3 * float(rp.check.p) + 1e-6
+    assert float(rs.check.d) <= 3 * float(rp.check.d) + 1e-6
