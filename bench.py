@@ -355,15 +355,21 @@ def tpu_bench():
 
     # A/B: the banded (contiguous x window) layout of the same problem —
     # replaces the ELL kernel's per-tile x gather (the round-2 bandwidth
-    # limiter) with one contiguous slice per row block
-    prob_bd = ConicProblem(op_band, bsp, csp, nonneg(op.m), nonneg(op.n))
-    form_bd = HSDEForm.build(prob_bd, densify=False)
-    rbd = run_sp(form_bd, form_bd.initial_value(form_bd.dtype), 0.0)
-    float(jnp.sum(rbd.guess))
-    t0 = time.perf_counter()
-    rbd = run_sp(form_bd, form_bd.initial_value(form_bd.dtype), 0.0)
-    float(jnp.sum(rbd.guess))
-    band_iters_per_s = 300 / (time.perf_counter() - t0)
+    # limiter) with one contiguous slice per row block.  Guarded: a Mosaic
+    # rejection of the new kernel must not kill the whole bench (the
+    # driver runs this file once per round).
+    try:
+        prob_bd = ConicProblem(op_band, bsp, csp, nonneg(op.m), nonneg(op.n))
+        form_bd = HSDEForm.build(prob_bd, densify=False)
+        rbd = run_sp(form_bd, form_bd.initial_value(form_bd.dtype), 0.0)
+        float(jnp.sum(rbd.guess))
+        t0 = time.perf_counter()
+        rbd = run_sp(form_bd, form_bd.initial_value(form_bd.dtype), 0.0)
+        float(jnp.sum(rbd.guess))
+        band_iters_per_s = round(300 / (time.perf_counter() - t0), 1)
+    except Exception as e:  # pragma: no cover - hardware-dependent
+        print(f"band layout failed: {type(e).__name__}: {e}", file=sys.stderr)
+        band_iters_per_s = f"failed: {type(e).__name__}"
     # quality run gets a real convergence budget
     run_spq = jax.jit(lambda f, x: fused_solve(alg, f, x, max_iters=6000,
                                                eps=1e-5, checki=100, unroll=4))
@@ -432,7 +438,7 @@ def tpu_bench():
             "sparse_banded_1e7nnz": {
                 "nnz": nnz_sp,
                 "iters_per_s": round(sparse_iters_per_s, 1),
-                "band_layout_iters_per_s": round(band_iters_per_s, 1),
+                "band_layout_iters_per_s": band_iters_per_s,
                 "eps1e-5_status": int(rq.status),
                 "eps1e-5_iters": int(rq.iters),
                 "obj": sparse_obj,
