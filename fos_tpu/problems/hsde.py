@@ -154,8 +154,8 @@ class HSDEForm:
         # tiles with a Pallas ELL SpMV (linalg/sparse_ell.py) when the tile
         # occupancy makes it profitable ("auto": stored tiles < 50% of the
         # dense grid); "bell" forces it, "bcoo" keeps gather-based BCOO.
-        if hasattr(A, "indices") and sparse_format in ("auto", "bell"):
-            if jnp.dtype(b.dtype) == jnp.float32:  # the kernel is f32
+        if hasattr(A, "indices") and sparse_format in ("auto", "bell", "band"):
+            if jnp.dtype(b.dtype) == jnp.float32:  # the kernels are f32
                 import jax as _jax
 
                 from fos_tpu.config import is_tpu_backend
@@ -164,22 +164,30 @@ class HSDEForm:
                                                        band_span_ratio,
                                                        bell_storage_ratio)
 
-                # auto picks bell only where the Mosaic kernel compiles
+                if sparse_format == "band":
+                    # contiguous-window layout (one x slice per row block
+                    # instead of the ELL per-tile gather) — explicit opt-in
+                    # until the kernel is validated on real TPU hardware
+                    # (tunnel down all round; bench.py carries the A/B)
+                    A = BandedBlockOp.create(A)
+                # auto picks the tile path only where Mosaic compiles
                 # (TPU) or interprets for tests (CPU); other backends
-                # (XLA:GPU) keep BCOO unless bell is forced
-                if sparse_format == "bell" or (
+                # (XLA:GPU) keep BCOO unless forced
+                elif sparse_format == "bell" or (
                         (is_tpu_backend() or _jax.default_backend() == "cpu")
                         and bell_storage_ratio(A) < 0.5):
-                    # contiguous-window (banded) tiles avoid the ELL
-                    # kernel's per-tile x gather when the span is tight
-                    if band_span_ratio(A) <= 1.25:
+                    if (band_span_ratio(A) <= 1.25
+                            and not is_tpu_backend()):
+                        # banded auto-pick on CPU only (interpret mode,
+                        # keeps correctness coverage); flips on for TPU
+                        # once the bench A/B validates the kernel there
                         A = BandedBlockOp.create(A)
                     else:
                         A = BlockedEllOp.create(A)
-            elif sparse_format == "bell":
+            elif sparse_format in ("bell", "band"):
                 raise ValueError(
-                    "sparse_format='bell' requires f32 problem data (the "
-                    "Pallas blocked-ELL kernel is f32-only); cast with "
+                    f"sparse_format={sparse_format!r} requires f32 problem "
+                    "data (the Pallas tile kernels are f32-only); cast with "
                     "dtype=jnp.float32 or use sparse_format='bcoo'")
         # NOTE on pallas: measured on TPU v5e, XLA already fuses the
         # (A@z1, A'@z2) pair of the Q matvec into a single HBM pass at the
