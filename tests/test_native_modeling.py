@@ -399,3 +399,94 @@ def test_quad_form_markowitz(rng):
 
     with pytest.raises(ValueError, match="PSD"):
         quad_form(w, -np.eye(n))
+
+
+def test_affine_lowering_fuzz():
+    """Property fuzz of the CSR lowering algebra: random expression trees
+    over valued variables must satisfy vec(expr) == sum_v F_v @ free(v) +
+    const against direct numpy evaluation of the same operations."""
+    import scipy.sparse as sp
+
+    from fos_tpu.modeling import AffineExpr, Variable as V, trace
+
+    rng = np.random.default_rng(42)
+
+    def rand_leaf(env):
+        kind = rng.integers(0, 3)
+        if kind == 0:   # vector variable
+            n = int(rng.integers(2, 6))
+            v = V(n)
+            env[v] = rng.standard_normal(n)
+            return v, env[v]
+        if kind == 1:   # matrix variable
+            a, b = int(rng.integers(2, 4)), int(rng.integers(2, 4))
+            v = V((a, b))
+            env[v] = rng.standard_normal((a, b))
+            return v, env[v]
+        d = int(rng.integers(2, 4))
+        v = V((d, d), symmetric=True)
+        Mv = rng.standard_normal((d, d))
+        env[v] = (Mv + Mv.T) / 2
+        # symmetric free entries: lower triangle column-stacked
+        return v, env[v]
+
+    def grow(expr, val, env, depth):
+        if depth == 0:
+            return expr, val
+        op = rng.integers(0, 8)
+        if op == 0:
+            s = float(rng.standard_normal())
+            return grow(expr * s, val * s, env, depth - 1)
+        if op == 1:
+            cst = rng.standard_normal(expr.shape) if expr.shape else \
+                float(rng.standard_normal())
+            return grow(expr + cst, val + cst, env, depth - 1)
+        if op == 2:
+            cst = rng.standard_normal(expr.shape) if expr.shape else \
+                float(rng.standard_normal())
+            return grow(cst - expr, cst - val, env, depth - 1)
+        if op == 3 and len(expr.shape) == 2:
+            return grow(expr.T, val.T, env, depth - 1)
+        if op == 4 and len(expr.shape) == 2:
+            C = rng.standard_normal((int(rng.integers(2, 5)),
+                                     expr.shape[0]))
+            return grow(C @ expr, C @ val, env, depth - 1)
+        if op == 5 and len(expr.shape) == 2:
+            C = rng.standard_normal((expr.shape[1],
+                                     int(rng.integers(2, 5))))
+            return grow(expr @ C, val @ C, env, depth - 1)
+        if op == 6 and len(expr.shape) == 2 and \
+                expr.shape[0] == expr.shape[1]:
+            return grow(trace(expr), np.trace(val), env, depth - 1)
+        if op == 7 and len(expr.shape) >= 1 and expr.shape:
+            i = int(rng.integers(0, expr.shape[0]))
+            return grow(expr[i], np.asarray(val)[i], env, depth - 1)
+        return grow(expr, val, env, depth - 1)
+
+    def eval_expr(e, env):
+        out = np.array(e.const, float, copy=True)
+        for v, F in e.terms.items():
+            mv = env[v]
+            if getattr(v, "symmetric", False):
+                d = v.shape[0]
+                free = np.array([mv[i, j] for j in range(d)
+                                 for i in range(j, d)])
+            else:
+                free = np.asarray(mv).reshape(-1)
+            Fd = F.toarray() if sp.issparse(F) else np.asarray(F)
+            out = out + Fd @ free
+        return out
+
+    for trial in range(40):
+        env = {}
+        leaf, val = rand_leaf(env)
+        expr, val = grow(leaf, np.asarray(val, float), env, depth=4)
+        if not isinstance(expr, AffineExpr):  # collapsed to a constant
+            continue
+        got = eval_expr(expr, env)
+        want = np.asarray(val, float).reshape(-1) if np.ndim(val) else \
+            np.asarray([val], float)
+        if got.shape != want.shape:
+            want = want.reshape(got.shape)
+        np.testing.assert_allclose(got, want, atol=1e-9,
+                                   err_msg=f"trial {trial}")
