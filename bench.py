@@ -367,9 +367,11 @@ def tpu_bench():
         rbd = run_sp(form_bd, form_bd.initial_value(form_bd.dtype), 0.0)
         float(jnp.sum(rbd.guess))
         band_iters_per_s = round(300 / (time.perf_counter() - t0), 1)
+        band_error = None
     except Exception as e:  # pragma: no cover - hardware-dependent
         print(f"band layout failed: {type(e).__name__}: {e}", file=sys.stderr)
-        band_iters_per_s = f"failed: {type(e).__name__}"
+        band_iters_per_s = None
+        band_error = f"{type(e).__name__}: {e}"[:200]
     # quality run gets a real convergence budget
     run_spq = jax.jit(lambda f, x: fused_solve(alg, f, x, max_iters=6000,
                                                eps=1e-5, checki=100, unroll=4))
@@ -439,6 +441,7 @@ def tpu_bench():
                 "nnz": nnz_sp,
                 "iters_per_s": round(sparse_iters_per_s, 1),
                 "band_layout_iters_per_s": band_iters_per_s,
+                "band_layout_error": band_error,
                 "eps1e-5_status": int(rq.status),
                 "eps1e-5_iters": int(rq.iters),
                 "obj": sparse_obj,

@@ -354,18 +354,28 @@ class BandedBlockOp:
         xb = jnp.pad(x, (0, pad)) if pad else x
         return xb.reshape(nblocks + S, width)
 
-    def mv(self, x):
+    _kernel = staticmethod(_band_mv)
+
+    def _mv_args(self, x):
+        """(index table, tile table, padded input) for the mv kernel —
+        shared by the local path and RowShardedOp."""
         ncb = self.blocks_t.shape[0]
         S = self.blocks.shape[1]
-        xb = self._pad_x(x, ncb, self.bn, S)
-        y = _band_mv(self.cs, self.blocks, xb, interpret=self.interpret)
+        return self.cs, self.blocks, self._pad_x(x, ncb, self.bn, S)
+
+    def _rmv_args(self, y):
+        nrb = self.blocks.shape[0]
+        S_t = self.blocks_t.shape[1]
+        return self.cs_t, self.blocks_t, self._pad_x(y, nrb, self.bm, S_t)
+
+    def mv(self, x):
+        idx, blocks, xb = self._mv_args(x)
+        y = _band_mv(idx, blocks, xb, interpret=self.interpret)
         return y.reshape(-1)[: self.m]
 
     def rmv(self, y):
-        nrb = self.blocks.shape[0]
-        S_t = self.blocks_t.shape[1]
-        yb = self._pad_x(y, nrb, self.bm, S_t)
-        z = _band_mv(self.cs_t, self.blocks_t, yb, interpret=self.interpret)
+        idx, blocks, yb = self._rmv_args(y)
+        z = _band_mv(idx, blocks, yb, interpret=self.interpret)
         return z.reshape(-1)[: self.n]
 
     def todense(self):
@@ -453,16 +463,26 @@ class BlockedEllOp:
         xb = jnp.pad(x, (0, pad)) if pad else x
         return xb.reshape(nb, width)
 
-    def mv(self, x):
+    _kernel = staticmethod(_bell_mv)
+
+    def _mv_args(self, x):
+        """(index table, tile table, padded input) for the mv kernel —
+        shared by the local path and RowShardedOp."""
         ncb = self.blocks_t.shape[0]
-        xb = self._pad(x, ncb, self.bn)
-        y = _bell_mv(self.cols, self.blocks, xb, interpret=self.interpret)
+        return self.cols, self.blocks, self._pad(x, ncb, self.bn)
+
+    def _rmv_args(self, y):
+        nrb = self.blocks.shape[0]
+        return self.cols_t, self.blocks_t, self._pad(y, nrb, self.bm)
+
+    def mv(self, x):
+        idx, blocks, xb = self._mv_args(x)
+        y = _bell_mv(idx, blocks, xb, interpret=self.interpret)
         return y.reshape(-1)[: self.m]
 
     def rmv(self, y):
-        nrb = self.blocks.shape[0]
-        yb = self._pad(y, nrb, self.bm)
-        z = _bell_mv(self.cols_t, self.blocks_t, yb, interpret=self.interpret)
+        idx, blocks, yb = self._rmv_args(y)
+        z = _bell_mv(idx, blocks, yb, interpret=self.interpret)
         return z.reshape(-1)[: self.n]
 
     def todense(self):
@@ -531,30 +551,27 @@ class RowShardedOp:
 
     @classmethod
     def create(cls, op, mesh, axis: str = "model"):
-        """Place ``op``'s tile leaves: forward tables P(axis, ...), shapes
-        must divide evenly over the axis (the builders pad block rows to a
-        multiple of 8, which covers meshes up to 8 wide)."""
+        """Shard ``op``'s tile leaves P(axis, ...).  Block-row counts are
+        zero-padded to a multiple of the axis size first (zero tiles with
+        index 0 contribute nothing), so any matrix works on any mesh."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         ndev = mesh.shape[axis]
-        if op.blocks.shape[0] % ndev or op.blocks_t.shape[0] % ndev:
-            raise ValueError(
-                f"block-row counts {op.blocks.shape[0]} / "
-                f"{op.blocks_t.shape[0]} must divide the {ndev}-way "
-                f"'{axis}' axis")
 
-        def put(x, spec):
-            return jax.device_put(x, NamedSharding(mesh, spec))
+        def pad0(x):
+            r = (-x.shape[0]) % ndev
+            if r:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((r,) + x.shape[1:], x.dtype)], axis=0)
+            return x
 
         ch, aux = op.tree_flatten()   # (blocks, idx, blocks_t, idx_t)
-        row = P(axis, *([None] * (ch[0].ndim - 1)))
-        rowt = P(axis, *([None] * (ch[2].ndim - 1)))
-        idx_spec = P(axis, *([None] * (ch[1].ndim - 1)))
-        idxt_spec = P(axis, *([None] * (ch[3].ndim - 1)))
-        inner = type(op).tree_unflatten(aux, (
-            put(ch[0], row), put(ch[1], idx_spec),
-            put(ch[2], rowt), put(ch[3], idxt_spec)))
-        return cls(inner, mesh, axis)
+        placed = tuple(
+            jax.device_put(pad0(x),
+                           NamedSharding(mesh, P(axis,
+                                                 *([None] * (x.ndim - 1)))))
+            for x in ch)
+        return cls(type(op).tree_unflatten(aux, placed), mesh, axis)
 
     # -- protocol ----------------------------------------------------
     @property
@@ -578,8 +595,7 @@ class RowShardedOp:
         from jax.sharding import PartitionSpec as P
 
         interpret = self.inner.interpret
-        kernel = (_band_mv if isinstance(self.inner, BandedBlockOp)
-                  else _bell_mv)
+        kernel = type(self.inner)._kernel
 
         def local(idx_l, blocks_l, xb_l):
             y = kernel(idx_l, blocks_l, xb_l, interpret=interpret)
@@ -594,30 +610,14 @@ class RowShardedOp:
         )(idx, blocks, xb)
 
     def mv(self, x):
-        inner = self.inner
-        if isinstance(inner, BandedBlockOp):
-            ncb = inner.blocks_t.shape[0]
-            S = inner.blocks.shape[1]
-            xb = inner._pad_x(x, ncb, inner.bn, S)
-            y = self._sharded_kernel(inner.cs, inner.blocks, xb)
-        else:
-            ncb = inner.blocks_t.shape[0]
-            xb = inner._pad(x, ncb, inner.bn)
-            y = self._sharded_kernel(inner.cols, inner.blocks, xb)
-        return y.reshape(-1)[: inner.m]
+        idx, blocks, xb = self.inner._mv_args(x)
+        y = self._sharded_kernel(idx, blocks, xb)
+        return y.reshape(-1)[: self.inner.m]
 
     def rmv(self, y):
-        inner = self.inner
-        if isinstance(inner, BandedBlockOp):
-            nrb = inner.blocks.shape[0]
-            S_t = inner.blocks_t.shape[1]
-            yb = inner._pad_x(y, nrb, inner.bm, S_t)
-            z = self._sharded_kernel(inner.cs_t, inner.blocks_t, yb)
-        else:
-            nrb = inner.blocks.shape[0]
-            yb = inner._pad(y, nrb, inner.bm)
-            z = self._sharded_kernel(inner.cols_t, inner.blocks_t, yb)
-        return z.reshape(-1)[: inner.n]
+        idx, blocks, yb = self.inner._rmv_args(y)
+        z = self._sharded_kernel(idx, blocks, yb)
+        return z.reshape(-1)[: self.inner.n]
 
     def todense(self):
         return self.inner.todense()

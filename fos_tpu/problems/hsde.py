@@ -102,7 +102,12 @@ class HSDEForm:
         # (measured); auto-densify on accelerators when the dense form fits
         # comfortably in HBM.  Pass densify=False to keep A sparse, and see
         # sparse_format below for the Pallas blocked-ELL fast path.
-        if densify and hasattr(A, "todense"):
+        if (densify and hasattr(A, "todense")
+                and not hasattr(A, "mv")               # operator types
+                and sparse_format not in ("bell", "band")):  # explicit layout
+            # operator inputs (BlockedEllOp/BandedBlockOp/RowShardedOp) and
+            # explicit tile-format requests are deliberate layouts: the
+            # auto-densify gate must not silently discard them
             import jax as _jax
 
             dense_bytes = A.shape[0] * A.shape[1] * jnp.dtype(b.dtype).itemsize
@@ -176,8 +181,8 @@ class HSDEForm:
                 elif sparse_format == "bell" or (
                         (is_tpu_backend() or _jax.default_backend() == "cpu")
                         and bell_storage_ratio(A) < 0.5):
-                    if (band_span_ratio(A) <= 1.25
-                            and not is_tpu_backend()):
+                    if (not is_tpu_backend()
+                            and band_span_ratio(A) <= 1.25):
                         # banded auto-pick on CPU only (interpret mode,
                         # keeps correctness coverage); flips on for TPU
                         # once the bench A/B validates the kernel there

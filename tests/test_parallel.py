@@ -389,6 +389,14 @@ def test_row_sharded_sparse_op(rng):
                                    np.asarray(op.rmv(jnp.asarray(y))),
                                    atol=2e-4)
 
+    # non-divisible block-row counts: 640 -> 5 block rows zero-padded to 8
+    A5 = sp.diags([np.ones(640)], offsets=[0], format="csr").astype(np.float32)
+    op5 = BandedBlockOp.create(A5, interpret=True)
+    sh5 = RowShardedOp.create(op5, mesh, "model")
+    x5 = rng.standard_normal(640).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(sh5.mv(jnp.asarray(x5))), x5,
+                               atol=1e-6)
+
     # end-to-end: a short fused budget with the sharded operator must
     # track the unsharded residuals (interpret-mode Pallas is slow on CPU,
     # so the budget is small — the full convergence behavior is covered by
