@@ -316,6 +316,24 @@ def tpu_bench():
     float(jnp.sum(rb.guess))
     batched_iters_per_s = B * 300 / (time.perf_counter() - t0)
 
+    # BASELINE config 5 scale: 1024-instance scenario-LP batch
+    B2 = 1024
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(17), 4)
+    A4 = jax.random.normal(k1, (B2, bm, bn), jnp.float32)
+    b4 = (jnp.einsum("bmn,bn->bm", A4,
+                     jnp.abs(jax.random.normal(k2, (B2, bn), jnp.float32)))
+          + jnp.abs(jax.random.normal(k3, (B2, bm), jnp.float32)))
+    c4 = jnp.abs(jax.random.normal(k4, (B2, bn), jnp.float32))
+    form4 = build_batched_form(A4, b4, c4, nonneg(bm), nonneg(bn))
+    rb4 = solve_batched(alg, form4, max_iters=300, eps=0.0, checki=100,
+                        unroll=4)
+    float(jnp.sum(rb4.guess))
+    t0 = time.perf_counter()
+    rb4 = solve_batched(alg, form4, max_iters=300, eps=0.0, checki=100,
+                        unroll=4)
+    float(jnp.sum(rb4.guess))
+    batched1024_iters_per_s = B2 * 300 / (time.perf_counter() - t0)
+
     # batched SDP (VERDICT r2 item 8)
     print("batched sdp...", file=sys.stderr)
     sdp_stats = sdp_batched_bench(alg)
@@ -427,6 +445,7 @@ def tpu_bench():
             "baseline_cpu_1thread_iters_per_s": round(base, 2),
             "scaling": scaling,
             "batched_128x(64x96)_agg_iters_per_s": round(batched_iters_per_s, 1),
+            "batched_1024x(64x96)_agg_iters_per_s": round(batched1024_iters_per_s, 1),
             "dtype": str(form.dtype),
             "eps1e-5_status": int(r2.status),
             "eps1e-5_iters": int(r2.iters),
