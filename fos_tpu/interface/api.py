@@ -57,6 +57,13 @@ def solve(A=None, b=None, c=None, K1: ConeSpec = None, K2: ConeSpec = None,
     ``dtype`` casts the problem data (e.g. ``jnp.float32`` for the TPU fast
     path; defaults to the dtype of the inputs / x64 setting).
 
+    Sparse ``A`` (scipy.sparse / BCOO) options: ``densify`` (True /
+    False / "auto" — auto densifies on accelerators when the dense form
+    fits; explicit tile formats and operator inputs are never densified)
+    and ``sparse_format`` ("auto" | "bcoo" | "bell" | "band" — "bell" is
+    the blocked-ELL Pallas tile kernel, "band" the contiguous-window
+    variant for banded patterns; both f32-only).
+
     ``warm_start`` seeds the iteration from a previous :class:`Solution` of
     the same/nearby problem (parametric sweeps): sugar for
     ``initx=prev.raw_z`` — the reference's ``initx`` option
