@@ -473,8 +473,39 @@ def tpu_bench():
     }))
 
 
+def _device_reachable(timeout_s=90, retries=3):
+    """The axon TPU tunnel goes down for hours and a dead tunnel HANGS
+    every device op (no exception) — probe in a subprocess with a timeout
+    so the bench can emit a parseable error line instead of hanging until
+    the driver kills it."""
+    for _ in range(retries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "print(float(jnp.ones(2).sum()))"],
+                capture_output=True, timeout=timeout_s)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        print("device probe failed; retrying...", file=sys.stderr)
+        time.sleep(30)
+    return False
+
+
 if __name__ == "__main__":
     if "--numpy-baseline" in sys.argv:
         numpy_baseline()
+    elif not _device_reachable():
+        print(json.dumps({
+            "metric": "hsde_dr_iters_per_s_1e6nnz",
+            "value": 0,
+            "unit": "iters/s",
+            "vs_baseline": 0,
+            "extras": {"error": "TPU tunnel unreachable (90s device probe "
+                                "timed out 3x); no hardware measurement "
+                                "possible this run"},
+        }))
     else:
         tpu_bench()
