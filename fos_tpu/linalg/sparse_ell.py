@@ -535,12 +535,19 @@ class RowShardedOp:
 
     Both the A and A' tile tables are sharded along their OWN row axes, so
     neither direction needs a reduction — one tiled all-gather each.
+
+    ``axis`` may be a single mesh-axis name or a TUPLE of names for
+    hierarchical multi-host meshes (e.g. ``("dcn", "ici")``): block rows
+    are split over the axis product (outer axis major, matching
+    ``PartitionSpec`` order) and the result all-gather runs over the same
+    product group — XLA decomposes it into the per-network phases, so the
+    big tile tables never move and only the O(m)+O(n) vectors cross DCN.
     """
 
-    def __init__(self, inner, mesh, axis: str = "model"):
+    def __init__(self, inner, mesh, axis="model"):
         self.inner = inner
         self.mesh = mesh
-        self.axis = axis
+        self.axis = (axis,) if isinstance(axis, str) else tuple(axis)
 
     def tree_flatten(self):
         return (self.inner,), (self.mesh, self.axis)
@@ -550,13 +557,17 @@ class RowShardedOp:
         return cls(children[0], *aux)
 
     @classmethod
-    def create(cls, op, mesh, axis: str = "model"):
+    def create(cls, op, mesh, axis="model"):
         """Shard ``op``'s tile leaves P(axis, ...).  Block-row counts are
-        zero-padded to a multiple of the axis size first (zero tiles with
-        index 0 contribute nothing), so any matrix works on any mesh."""
+        zero-padded to a multiple of the axis-product size first (zero
+        tiles with index 0 contribute nothing), so any matrix works on any
+        mesh."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        ndev = mesh.shape[axis]
+        axes = (axis,) if isinstance(axis, str) else tuple(axis)
+        ndev = 1
+        for a in axes:
+            ndev *= mesh.shape[a]
 
         def pad0(x):
             r = (-x.shape[0]) % ndev
@@ -568,10 +579,10 @@ class RowShardedOp:
         ch, aux = op.tree_flatten()   # (blocks, idx, blocks_t, idx_t)
         placed = tuple(
             jax.device_put(pad0(x),
-                           NamedSharding(mesh, P(axis,
+                           NamedSharding(mesh, P(axes,
                                                  *([None] * (x.ndim - 1)))))
             for x in ch)
-        return cls(type(op).tree_unflatten(aux, placed), mesh, axis)
+        return cls(type(op).tree_unflatten(aux, placed), mesh, axes)
 
     # -- protocol ----------------------------------------------------
     @property
@@ -597,15 +608,23 @@ class RowShardedOp:
         interpret = self.inner.interpret
         kernel = type(self.inner)._kernel
 
+        axes = self.axis
+
         def local(idx_l, blocks_l, xb_l):
             y = kernel(idx_l, blocks_l, xb_l, interpret=interpret)
-            return jax.lax.all_gather(y, self.axis, axis=0, tiled=True)
+            # multi-axis: gather the INNER (fast, ICI) axis first, then the
+            # outer (DCN) one — the shards land back in PartitionSpec
+            # (outer-major) order either way, but phasing it keeps each
+            # DCN message one contiguous per-host block
+            for a in reversed(axes):
+                y = jax.lax.all_gather(y, a, axis=0, tiled=True)
+            return y
 
         nd1 = blocks.ndim - 1
         return shard_map(
             local, mesh=self.mesh,
-            in_specs=(P(self.axis, *([None] * (idx.ndim - 1))),
-                      P(self.axis, *([None] * nd1)), P(None, None)),
+            in_specs=(P(axes, *([None] * (idx.ndim - 1))),
+                      P(axes, *([None] * nd1)), P(None, None)),
             out_specs=P(None, None), check_vma=False,
         )(idx, blocks, xb)
 

@@ -422,3 +422,44 @@ def test_row_sharded_sparse_op(rng):
     assert int(rs.status) == int(rp.status)
     assert float(rs.check.p) <= 3 * float(rp.check.p) + 1e-6
     assert float(rs.check.d) <= 3 * float(rp.check.d) + 1e-6
+
+
+def test_row_sharded_sparse_op_hierarchical(rng):
+    """RowShardedOp over a TUPLE of mesh axes (the multi-host layout): block
+    rows split over the ("dcn", "ici") product, result gathered ici-first
+    then dcn — must agree with the unsharded operator and with the
+    single-axis sharding."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import scipy.sparse as sp
+
+    from fos_tpu.linalg.sparse_ell import (BandedBlockOp, BlockedEllOp,
+                                           RowShardedOp)
+
+    m, n = 2048, 1664          # 16 x 13 block grid (rectangular)
+    diags = [np.ones(min(m, n) - 0) * 2.0,
+             np.ones(min(m, n - 140)) * -1.0]
+    A = sp.diags(diags, offsets=[0, 140], shape=(m, n),
+                 format="csr").astype(np.float32)
+    mesh = make_mesh((2, 4), ("dcn", "ici"))
+    x = rng.standard_normal(n).astype(np.float32)
+    y = rng.standard_normal(m).astype(np.float32)
+    for cls in (BandedBlockOp, BlockedEllOp):
+        op = cls.create(A, interpret=True)
+        sh = RowShardedOp.create(op, mesh, ("dcn", "ici"))
+        assert sh.axis == ("dcn", "ici")
+        np.testing.assert_allclose(np.asarray(sh.mv(jnp.asarray(x))),
+                                   np.asarray(op.mv(jnp.asarray(x))),
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(sh.rmv(jnp.asarray(y))),
+                                   np.asarray(op.rmv(jnp.asarray(y))),
+                                   atol=2e-4)
+
+    # pytree round-trip keeps the axes tuple (jit/scan carry the op)
+    op = BandedBlockOp.create(A, interpret=True)
+    sh = RowShardedOp.create(op, mesh, ("dcn", "ici"))
+    leaves, tree = jax.tree_util.tree_flatten(sh)
+    sh2 = jax.tree_util.tree_unflatten(tree, leaves)
+    assert sh2.axis == ("dcn", "ici")
+    np.testing.assert_allclose(np.asarray(sh2.mv(jnp.asarray(x))),
+                               np.asarray(op.mv(jnp.asarray(x))), atol=2e-4)
