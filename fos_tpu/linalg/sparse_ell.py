@@ -199,10 +199,27 @@ def _pad8(nb: int) -> int:
     return ((nb + 7) // 8) * 8 if nb > 8 else nb
 
 
+def _ell_kmax(max_count: int) -> int:
+    """Tile-slot count per block row: at least 1; padded to a multiple of 8
+    past 8 so the kernel streams 8 tiles per grid step (_k_block)."""
+    kmax = max(max_count, 1)
+    return ((kmax + 7) // 8) * 8 if kmax > 8 else kmax
+
+
 def _build_ell_arrays(m, n, rows, cols, vals, bm, bn):
-    """Pack COO triplets into blocked-ELL numpy arrays (host, build-time)."""
+    """Pack COO triplets into blocked-ELL numpy arrays (host, build-time).
+
+    Tries the native C++ packer (fos_tpu/native/packer.cpp — fused
+    counting-sort + dedup + scatter, ~20x the numpy pipeline, threaded)
+    and falls back to the numpy implementation below; both produce
+    bit-identical tables (tests/test_native.py)."""
     nrb = _pad8(math.ceil(m / bm))
     ncb = math.ceil(n / bn)
+    from fos_tpu import native
+
+    nat = native.ell_pack(rows, cols, vals, nrb, ncb, bm, bn, _ell_kmax)
+    if nat is not None:
+        return nat
     ti = rows // bm
     tj = cols // bn
     pair = ti.astype(np.int64) * ncb + tj
@@ -212,11 +229,9 @@ def _build_ell_arrays(m, n, rows, cols, vals, bm, bn):
     # slot index of each occupied tile within its block-row (tiles arrive
     # sorted by (ti, tj) from np.unique)
     counts = np.bincount(uti, minlength=nrb)
-    kmax = max(int(counts.max()) if counts.size else 0, 1)
-    if kmax > 8:
-        # pad kmax to a multiple of 8 so the kernel streams 8 tiles per
-        # grid step (_k_block); <= 7 extra zero tiles per block-row
-        kmax = ((kmax + 7) // 8) * 8
+    # kmax padded to a multiple of 8 past 8 so the kernel streams 8 tiles
+    # per grid step (_k_block); <= 7 extra zero tiles per block-row
+    kmax = _ell_kmax(int(counts.max()) if counts.size else 0)
     row_start = np.zeros(nrb + 1, np.int64)
     np.cumsum(counts, out=row_start[1:])
     slot = np.arange(upair.size) - row_start[uti]
@@ -234,8 +249,15 @@ def _build_ell_arrays(m, n, rows, cols, vals, bm, bn):
 def _build_band_arrays(m, n, rows, cols, vals, bm, bn):
     """Pack COO triplets into banded-block numpy arrays: per row block a
     contiguous column window [cs_i, cs_i + S) holds all its tiles (S = max
-    window over row blocks; sparse-within-window slots stay zero)."""
+    window over row blocks; sparse-within-window slots stay zero).
+
+    Tries the native C++ packer first (see _build_ell_arrays)."""
     nrb = _pad8(math.ceil(m / bm))
+    from fos_tpu import native
+
+    nat = native.band_pack(rows, cols, vals, nrb, math.ceil(n / bn), bm, bn)
+    if nat is not None:
+        return nat
     ti = rows // bm
     tj = cols // bn
     lo = np.full(nrb, np.iinfo(np.int64).max, np.int64)
