@@ -201,18 +201,20 @@ def _pad8(nb: int) -> int:
 
 def _ell_kmax(max_count: int) -> int:
     """Tile-slot count per block row: at least 1; padded to a multiple of 8
-    past 8 so the kernel streams 8 tiles per grid step (_k_block)."""
-    kmax = max(max_count, 1)
-    return ((kmax + 7) // 8) * 8 if kmax > 8 else kmax
+    past 8 so the kernel streams 8 tiles per grid step (_k_block).  Shared
+    by the numpy and native packers (passed as ``kmax_of``) so the padding
+    policy cannot drift between them."""
+    return _pad8(max(max_count, 1))
 
 
 def _build_ell_arrays(m, n, rows, cols, vals, bm, bn):
     """Pack COO triplets into blocked-ELL numpy arrays (host, build-time).
 
     Tries the native C++ packer (fos_tpu/native/packer.cpp — fused
-    counting-sort + dedup + scatter, ~20x the numpy pipeline, threaded)
-    and falls back to the numpy implementation below; both produce
-    bit-identical tables (tests/test_native.py)."""
+    counting-sort + dedup + scatter, threaded; ~6x end-to-end at 1e7 nnz,
+    the rest is zeroing/touching the tile tables — PERF.md) and falls back
+    to the numpy implementation below; both produce bit-identical tables
+    (tests/test_native.py)."""
     nrb = _pad8(math.ceil(m / bm))
     ncb = math.ceil(n / bn)
     from fos_tpu import native
@@ -634,10 +636,12 @@ class RowShardedOp:
 
         def local(idx_l, blocks_l, xb_l):
             y = kernel(idx_l, blocks_l, xb_l, interpret=interpret)
-            # multi-axis: gather the INNER (fast, ICI) axis first, then the
-            # outer (DCN) one — the shards land back in PartitionSpec
-            # (outer-major) order either way, but phasing it keeps each
-            # DCN message one contiguous per-host block
+            # multi-axis: MUST gather the INNER (minor) axis first — shard
+            # order over P(("dcn","ici")) is outer-major (device (d,i)
+            # holds shard d*n_ici + i), and only inner-first gathering
+            # reassembles that order (outer-first would interleave:
+            # [s0,s4,s1,s5,...] on a 2x4 mesh).  A bonus, not the reason:
+            # the later DCN phase then moves one contiguous per-host block.
             for a in reversed(axes):
                 y = jax.lax.all_gather(y, a, axis=0, tiled=True)
             return y

@@ -42,12 +42,27 @@ def _compile_and_load():
 
     candidates = [os.path.join(_HERE, soname),
                   os.path.join(tempfile.gettempdir(), f"fos_tpu-{soname}")]
-    for path in candidates:
-        if os.path.exists(path):
-            return ctypes.CDLL(path)
-
     last_err = None
     for path in candidates:
+        if os.path.exists(path):
+            try:
+                return ctypes.CDLL(path)
+            except OSError as e:
+                # corrupt / wrong-platform cached binary: drop it and fall
+                # through to a fresh compile instead of disabling native
+                last_err = e
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+
+    for path in candidates:
+        # best-effort cleanup of artifacts from superseded source hashes
+        for old in _stale_artifacts(os.path.dirname(path), soname):
+            try:
+                os.unlink(old)
+            except OSError:
+                pass
         tmp = path + f".build-{os.getpid()}"
         cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
                "-o", tmp, _SRC, "-lpthread"]
@@ -62,6 +77,17 @@ def _compile_and_load():
             except OSError:
                 pass
     raise RuntimeError(f"native packer build failed: {last_err}")
+
+
+def _stale_artifacts(dirpath, current_soname):
+    try:
+        names = os.listdir(dirpath)
+    except OSError:
+        return
+    for name in names:
+        if (name.startswith(("_packer-", "fos_tpu-_packer-"))
+                and name.endswith(".so") and not name.endswith(current_soname)):
+            yield os.path.join(dirpath, name)
 
 
 def _declare(lib):

@@ -70,9 +70,11 @@ int64_t fos_ell_phase1(const int64_t* rows, const int64_t* cols, int64_t nnz,
     std::memset(counts, 0, sizeof(int64_t) * nrb);
     std::memset(offs, 0, sizeof(int64_t) * (nrb + 1));
     for (int64_t e = 0; e < nnz; ++e) {
-        int64_t ti = rows[e] / bm, tj = cols[e] / bn;
-        if (ti < 0 || ti >= nrb || tj < 0 || tj >= ncb) return -1;
-        ++offs[ti + 1];
+        // guard the RAW indices: C++ division truncates toward zero, so
+        // rows[e] in (-bm, 0) would give ti == 0 and slip past a ti-check
+        if (rows[e] < 0 || rows[e] >= nrb * bm ||
+            cols[e] < 0 || cols[e] >= ncb * bn) return -1;
+        ++offs[rows[e] / bm + 1];
     }
     for (int64_t b = 0; b < nrb; ++b) offs[b + 1] += offs[b];
     {
@@ -159,8 +161,10 @@ int64_t fos_band_phase1(const int64_t* rows, const int64_t* cols,
     std::vector<int64_t> hi(nrb, -1);
     for (int64_t b = 0; b < nrb; ++b) lo[b] = INT64_MAX;
     for (int64_t e = 0; e < nnz; ++e) {
+        // raw-index guard: see fos_ell_phase1 (truncating division)
+        if (rows[e] < 0 || rows[e] >= nrb * bm ||
+            cols[e] < 0 || cols[e] >= ncb * bn) return -1;
         int64_t ti = rows[e] / bm, tj = cols[e] / bn;
-        if (ti < 0 || ti >= nrb || tj < 0 || tj >= ncb) return -1;
         if (tj < lo[ti]) lo[ti] = tj;
         if (tj > hi[ti]) hi[ti] = tj;
     }

@@ -85,6 +85,21 @@ def test_ops_built_native_agree_with_scipy(rng):
         np.testing.assert_allclose(np.asarray(op.rmv(y)), A.T @ y, atol=2e-4)
 
 
+@pytest.mark.skipif(native.get() is None,
+                    reason=f"native packer unavailable: {native.load_error()}")
+def test_out_of_grid_entries_reject():
+    """Negative / too-large indices must return None (fall back to numpy,
+    which raises on them) — C++ truncating division would otherwise let
+    rows in (-bm, 0) alias block 0 and scatter out of bounds."""
+    vals = np.ones(1, np.float32)
+    for r, c in ((-1, 3), (3, -1), (10**6, 3), (3, 10**6)):
+        rows = np.array([r], np.int64)
+        cols = np.array([c], np.int64)
+        assert native.ell_pack(rows, cols, vals, 8, 4, 128, 128,
+                               sparse_ell._ell_kmax) is None
+        assert native.band_pack(rows, cols, vals, 8, 4, 128, 128) is None
+
+
 def test_fallback_when_disabled(monkeypatch):
     """FOS_TPU_NO_NATIVE=1 forces get() -> None and the numpy path."""
     monkeypatch.setenv("FOS_TPU_NO_NATIVE", "1")
