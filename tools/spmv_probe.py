@@ -17,8 +17,11 @@ tunnel: run the matvec inside ONE jit'd fori_loop (per-op dispatch costs
 Usage:  python tools/spmv_probe.py [nrb ...]      (default 64 128 256)
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
