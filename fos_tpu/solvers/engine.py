@@ -64,15 +64,16 @@ def _run_chunk(alg, form, st: SolverState, nsteps: int, eps: float,
     return st, chk
 
 
-@functools.partial(jax.jit, static_argnames=("alg", "nsteps", "eps"))
-def _run_chunk_logged(alg, form, st: SolverState, nsteps: int, eps: float):
+@functools.partial(jax.jit, static_argnames=("alg", "nsteps", "eps", "unroll"))
+def _run_chunk_logged(alg, form, st: SolverState, nsteps: int, eps: float,
+                      unroll: int = 1):
     """Chunk variant for logextra parity: the LAST iteration of the chunk is
     the check iteration (i % checki == 0 in the reference), so it runs as
     ``step_logged`` and its S1-stage snapshots ride back with the check."""
     def body(_, st):
         return alg.step(form.sets, st)
 
-    st = jax.lax.fori_loop(0, nsteps - 1, body, st)
+    st = jax.lax.fori_loop(0, nsteps - 1, body, st, unroll=unroll)
     st, snaps = alg.step_logged(form.sets, st)
     chk = form.check(st.z_check, eps, prev=st.z_check_prev)
     return st, chk, snaps
@@ -267,7 +268,8 @@ def run(form, alg, *, initx=None, init_duration: float = 0.0,
     nchunks, rem = divmod(max_iters, checki)
     for _ in range(nchunks):
         if log_extra:
-            st, chk, snaps = _run_chunk_logged(alg, form, st, checki, eps)
+            st, chk, snaps = _run_chunk_logged(alg, form, st, checki, eps,
+                                               unroll)
         else:
             st, chk = _run_chunk(alg, form, st, checki, eps, unroll)
             snaps = None

@@ -245,6 +245,29 @@ def test_psd_poly_matches_eigh(rng):
             np.testing.assert_allclose(Yp[i], Ye, atol=1e-9)
 
 
+def test_psd_poly_preserves_f32_under_x64(rng):
+    # Regression (VERDICT r3 weak item 1): np.float64 strong scalars inside
+    # psd_project_poly promoted f32 inputs to f64 under jax_enable_x64 (on
+    # by conftest here).  Emulated-f64 matmuls crash the TPU worker, so the
+    # poly path MUST be dtype-preserving end to end.
+    from fos_tpu.cones.psd_poly import psd_project_poly, _spectral_bound
+
+    B = rng.standard_normal((3, 16, 16))
+    X32 = jnp.asarray((B + np.swapaxes(B, -1, -2)) / 2, dtype=jnp.float32)
+    assert jax.config.jax_enable_x64  # the promotion only bites under x64
+    assert _spectral_bound(X32).dtype == jnp.float32
+    Y = psd_project_poly(X32)
+    assert Y.dtype == jnp.float32
+    # ... and through the fused projector (project.py scatter site), where
+    # the leak surfaced as an f64->f32 scatter FutureWarning.
+    spec = ConeSpec.concat([nonneg(3), psd(6)])
+    x32 = jnp.asarray(rng.standard_normal(spec.dim), dtype=jnp.float32)
+    y = project(spec, x32, psd_method="poly")
+    assert y.dtype == jnp.float32
+    # f64 in -> f64 out still holds
+    assert psd_project_poly(X32.astype(jnp.float64)).dtype == jnp.float64
+
+
 def test_project_psd_method_option(rng):
     spec = ConeSpec.concat([nonneg(3), psd(6)])
     x = jnp.asarray(rng.standard_normal(spec.dim))
