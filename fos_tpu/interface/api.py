@@ -103,6 +103,7 @@ def solve(A=None, b=None, c=None, K1: ConeSpec = None, K2: ConeSpec = None,
         pallas=bool(opts.pop("pallas", False)),
         psd_method=str(opts.pop("psd_method", "auto")),
         cg_variant=str(opts.pop("cg_variant", "standard")),
+        cg_unroll=int(opts.pop("cg_unroll", 2)),
         equilibrate=equilibrate,
         equilibrate_iters=equilibrate_iters,
         strict_certificates=bool(opts.pop("strict_certificates", False)),

@@ -171,6 +171,179 @@ def _band_mv(cs, blocks, xb, *, interpret=False):
     )(cs, blocks, xb)
 
 
+def _band_mv_pair_kernel(cs_ref, blocks_ref, x_ref, z_ref, y1_ref, y2_ref,
+                         *, mt, S):
+    """Fused pair: ONE stream of the A tile table produces BOTH ``A @ x``
+    and ``A' @ z``.  The HSDE ``q_mul`` needs exactly this pair per
+    application (hsde_ops.q_mul), and tile-table reads are the entire HBM
+    cost of the sparse solve — the fused kernel halves them (and removes
+    the need to even store the A' table for the solve path).
+
+    Forward: same one batched dot as :func:`_band_mv_kernel`.
+    Transpose: y2[cs_r + s] += a[r, s]' @ z_r, computed as the row-vector
+    product z_r' @ a[r, s] (natural tile layout, no transposes) with z
+    repeated S times along the batch axis; accumulated into the
+    VMEM-resident y2 output block (constant index map -> lives in VMEM
+    across all grid steps, flushed to HBM once at the end)."""
+    i = pl.program_id(0)
+    a = blocks_ref[...]                      # (mt, S, bm, bn)
+    bm, bn = a.shape[2], a.shape[3]
+    af = a.reshape(mt * S, bm, bn)
+
+    xs = jnp.concatenate(
+        [x_ref[pl.ds(cs_ref[i * mt + r], S), :] for r in range(mt)])
+    parts = jax.lax.dot_general(
+        af, xs, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                        # (mt*S, bm)
+    y1_ref[...] = jnp.sum(parts.reshape(mt, S, bm), axis=1)
+
+    z = z_ref[...]                           # (mt, bm)
+    zs = jnp.repeat(z, S, axis=0)            # (mt*S, bm), r-major
+    # z_r' @ a[r,s] as [B,1,K] x [B,K,N] -> [B,1,N]: Mosaic's batched-dot
+    # rule needs the lhs contraction on the LAST dim and the rhs
+    # non-contracting dims as a suffix — this row-vector form satisfies
+    # both without transposing the tiles in VMEM
+    pt = jax.lax.dot_general(
+        zs[:, None, :], af, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )[:, 0, :]                               # (mt*S, bn) = a[r,s]' z_r
+
+    @pl.when(i == 0)
+    def _():
+        y2_ref[...] = jnp.zeros_like(y2_ref)
+
+    for r in range(mt):
+        w = pl.ds(cs_ref[i * mt + r], S)
+        y2_ref[w, :] += pt[r * S:(r + 1) * S]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _band_mv_pair(cs, blocks, xb, zb, *, interpret=False):
+    """cs: (nrb,) int32; blocks: (nrb, S, bm, bn); xb: (ncb + S, bn) padded;
+    zb: (nrb, bm) -> (y1: (nrb, bm) = A x, y2: (ncb + S, bn) = A' z)."""
+    nrb, S, bm, bn = blocks.shape
+    ncb_pad = xb.shape[0]
+    mt = _m_block(nrb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nrb // mt,),
+        in_specs=[
+            pl.BlockSpec((mt, S, bm, bn),
+                         lambda i, cs: (i, i * 0, i * 0, i * 0)),
+            pl.BlockSpec((ncb_pad, bn), lambda i, cs: (i * 0, i * 0)),
+            pl.BlockSpec((mt, bm), lambda i, cs: (i, i * 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((mt, bm), lambda i, cs: (i, i * 0)),
+            pl.BlockSpec((ncb_pad, bn), lambda i, cs: (i * 0, i * 0)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_band_mv_pair_kernel, mt=mt, S=S),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((nrb, bm), jnp.float32),
+                   jax.ShapeDtypeStruct((ncb_pad, bn), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * nrb * S * bm * bn,
+            bytes_accessed=nrb * S * bm * bn * 4
+            + (2 * nrb * bm + 2 * ncb_pad * bn) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(cs, blocks, xb, zb)
+
+
+def _bell_mv_pair_kernel(cols_ref, blocks_ref, x_ref, z_ref, y1_ref, y2_ref,
+                         *, mt, kt):
+    """Blocked-ELL fused pair (see :func:`_band_mv_pair_kernel`): one
+    stream of the A tile table yields ``A @ x`` (per-tile x gather, as
+    :func:`_bell_mv_kernel`) and ``A' @ z`` (per-tile scatter-accumulate
+    into the VMEM-resident y2 block)."""
+    i = pl.program_id(0)
+    kb = pl.program_id(1)
+    a = blocks_ref[...]                      # (mt, kt, bm, bn)
+    bm, bn = a.shape[2], a.shape[3]
+    af = a.reshape(mt * kt, bm, bn)
+
+    xs = jnp.stack([x_ref[cols_ref[i * mt + r, kb * kt + kk], :]
+                    for r in range(mt) for kk in range(kt)])  # (mt*kt, bn)
+    parts = jax.lax.dot_general(
+        af, xs, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                        # (mt*kt, bm)
+    contrib = jnp.sum(parts.reshape(mt, kt, bm), axis=1)
+
+    @pl.when(kb == 0)
+    def _():
+        y1_ref[...] = contrib
+
+    @pl.when(kb != 0)
+    def _():
+        y1_ref[...] += contrib
+
+    z = z_ref[...]                           # (mt, bm)
+    zs = jnp.repeat(z, kt, axis=0)           # (mt*kt, bm), r-major
+    pt = jax.lax.dot_general(
+        zs[:, None, :], af, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )[:, 0, :]                               # (mt*kt, bn) = a[r,k]' z_r
+
+    @pl.when((i == 0) & (kb == 0))
+    def _():
+        y2_ref[...] = jnp.zeros_like(y2_ref)
+
+    for r in range(mt):
+        for kk in range(kt):
+            w = pl.ds(cols_ref[i * mt + r, kb * kt + kk], 1)
+            y2_ref[w, :] += pt[r * kt + kk][None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _bell_mv_pair(cols, blocks, xb, zb, *, interpret=False):
+    """cols: (nrb, kmax) int32; blocks: (nrb, kmax, bm, bn); xb: (ncb, bn);
+    zb: (nrb, bm) -> (y1: (nrb, bm) = A x, y2: (ncb, bn) = A' z).
+
+    NOTE: zero-padding tile slots alias block-column 0, so the transpose
+    scatter requires padding tiles to be stored as ZEROS (the builders
+    guarantee this; the forward path has the same requirement)."""
+    nrb, kmax, bm, bn = blocks.shape
+    ncb = xb.shape[0]
+    kt = _k_block(kmax)
+    mt = _m_block(nrb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nrb // mt, kmax // kt),
+        in_specs=[
+            pl.BlockSpec((mt, kt, bm, bn),
+                         lambda i, k, cols: (i, k, i * 0, i * 0)),
+            pl.BlockSpec((ncb, bn), lambda i, k, cols: (i * 0, i * 0)),
+            pl.BlockSpec((mt, bm), lambda i, k, cols: (i, i * 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((mt, bm), lambda i, k, cols: (i, i * 0)),
+            pl.BlockSpec((ncb, bn), lambda i, k, cols: (i * 0, i * 0)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_bell_mv_pair_kernel, mt=mt, kt=kt),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((nrb, bm), jnp.float32),
+                   jax.ShapeDtypeStruct((ncb, bn), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * nrb * kmax * bm * bn,
+            bytes_accessed=nrb * kmax * bm * bn * 4
+            + (2 * nrb * bm + 2 * ncb * bn) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(cols, blocks, xb, zb)
+
+
 def _k_block(kmax: int) -> int:
     """Tiles streamed per grid step along k: whole k-range when small, else
     the largest divisor of kmax that is <= 8 (builder pads kmax to keep
@@ -402,6 +575,20 @@ class BandedBlockOp:
         z = _band_mv(idx, blocks, yb, interpret=self.interpret)
         return z.reshape(-1)[: self.n]
 
+    def mv_pair(self, x, z):
+        """(A @ x, A' @ z) from ONE stream of the A tile table — half the
+        HBM traffic of mv + rmv (the A' table isn't touched).  This is the
+        shape hsde_ops.q_mul consumes; measured on TPU v5e it takes the
+        1e7-nnz LP from 2.36k to ~4k iters/s."""
+        nrb, S = self.blocks.shape[:2]
+        ncb = self.blocks_t.shape[0]
+        pad = nrb * self.bm - z.shape[0]
+        zb = (jnp.pad(z, (0, pad)) if pad else z).reshape(nrb, self.bm)
+        xb = self._pad_x(x, ncb, self.bn, S)
+        y1, y2 = _band_mv_pair(self.cs, self.blocks, xb, zb,
+                               interpret=self.interpret)
+        return y1.reshape(-1)[: self.m], y2.reshape(-1)[: self.n]
+
     def todense(self):
         nrb, S, bm, bn = self.blocks.shape
         ncb = self.blocks_t.shape[0]
@@ -508,6 +695,15 @@ class BlockedEllOp:
         idx, blocks, yb = self._rmv_args(y)
         z = _bell_mv(idx, blocks, yb, interpret=self.interpret)
         return z.reshape(-1)[: self.n]
+
+    def mv_pair(self, x, z):
+        """(A @ x, A' @ z) from ONE stream of the A tile table — half the
+        HBM traffic of mv + rmv (see BandedBlockOp.mv_pair)."""
+        nrb = self.blocks.shape[0]
+        idx, blocks, xb = self._mv_args(x)
+        zb = self._pad(z, nrb, self.bm)
+        y1, y2 = _bell_mv_pair(idx, blocks, xb, zb, interpret=self.interpret)
+        return y1.reshape(-1)[: self.m], y2.reshape(-1)[: self.n]
 
     def todense(self):
         nrb, kmax, bm, bn = self.blocks.shape

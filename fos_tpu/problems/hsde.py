@@ -90,7 +90,7 @@ class HSDEForm:
     def build(cls, problem: ConicProblem, *, direct: bool = False,
               cg_max_iters: int = 1000, pallas: bool = False,
               cg_tol_floor: float = None, psd_method: str = "auto",
-              cg_variant: str = "standard",
+              cg_variant: str = "standard", cg_unroll: int = 2,
               equilibrate: bool = False, equilibrate_iters: int = 10,
               strict_certificates: bool = False, densify="auto",
               compensated="auto", sparse_format="auto") -> "HSDEForm":
@@ -171,9 +171,7 @@ class HSDEForm:
 
                 if sparse_format == "band":
                     # contiguous-window layout (one x slice per row block
-                    # instead of the ELL per-tile gather) — explicit opt-in
-                    # until the kernel is validated on real TPU hardware
-                    # (tunnel down all round; bench.py carries the A/B)
+                    # instead of the ELL per-tile gather)
                     A = BandedBlockOp.create(A)
                 # auto picks the tile path only where Mosaic compiles
                 # (TPU) or interprets for tests (CPU); other backends
@@ -181,11 +179,13 @@ class HSDEForm:
                 elif sparse_format == "bell" or (
                         (is_tpu_backend() or _jax.default_backend() == "cpu")
                         and bell_storage_ratio(A) < 0.5):
-                    if (not is_tpu_backend()
-                            and band_span_ratio(A) <= 1.25):
-                        # banded auto-pick on CPU only (interpret mode,
-                        # keeps correctness coverage); flips on for TPU
-                        # once the bench A/B validates the kernel there
+                    if band_span_ratio(A) <= 1.25:
+                        # banded layout wins wherever the column windows
+                        # are (near-)contiguous: validated + measured on
+                        # real TPU v5e hardware round 4 — band streams
+                        # 817 GB/s vs ELL's 661 at a 48 MiB table
+                        # (tools/launch_probe.py, RTT-cancelled timing),
+                        # and both are bit-equal to the scipy oracle
                         A = BandedBlockOp.create(A)
                     else:
                         A = BlockedEllOp.create(A)
@@ -221,7 +221,7 @@ class HSDEForm:
             A, b, c,
             direct=direct, decreasing_accuracy=not direct,
             cg_max_iters=cg_max_iters, tol_floor=cg_tol_floor,
-            cg_variant=cg_variant, compensated=comp_cg,
+            cg_variant=cg_variant, cg_unroll=cg_unroll, compensated=comp_cg,
         )
         compensated = comp_check
         s2 = ConeSet(hsde_cone_spec(problem.K1, problem.K2), psd_method)

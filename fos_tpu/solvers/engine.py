@@ -36,7 +36,8 @@ EXTRA_OPTIONS = frozenset({"check_finite", "profile_dir", "unroll"})
 # Options consumed by the form/solve layer before reaching run(); accepted
 # here so algorithm-stored options (alg.options) can carry them through.
 FORM_OPTIONS = frozenset({
-    "cg_max_iters", "cg_tol_floor", "cg_variant", "pallas", "psd_method",
+    "cg_max_iters", "cg_tol_floor", "cg_variant", "cg_unroll", "pallas",
+    "psd_method",
     "equilibrate", "equilibrate_iters", "strict_certificates", "densify",
     "refine", "refine_kwargs", "compensated", "sparse_format",
 })

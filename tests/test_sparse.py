@@ -228,6 +228,45 @@ def test_banded_block_op_matvec_oracle():
                                atol=1e-6)
 
 
+def test_banded_mv_pair_oracle():
+    """Fused (A@x, A'@z) pair from one tile stream == separate mv/rmv ==
+    scipy, including non-square shapes and window overlap accumulation."""
+    from fos_tpu.linalg.sparse_ell import BandedBlockOp, BlockedEllOp
+
+    for cls in (BandedBlockOp, BlockedEllOp):
+        for m, n, bw in ((1000, 1200, 150), (1200, 1000, 250), (512, 512, 100)):
+            A = _banded_scipy(m, n, bw, seed=4).astype(np.float32)
+            op = cls.create(A)
+            rng = np.random.default_rng(0)
+            x = rng.standard_normal(n).astype(np.float32)
+            z = rng.standard_normal(m).astype(np.float32)
+            y1, y2 = op.mv_pair(jnp.asarray(x), jnp.asarray(z))
+            np.testing.assert_allclose(np.asarray(y1), A @ x,
+                                       rtol=2e-5, atol=2e-4)
+            np.testing.assert_allclose(np.asarray(y2), A.T @ z,
+                                       rtol=2e-5, atol=2e-4)
+            # and the pair is what q_mul consumes (hsde_ops.mv_pair dispatch)
+            from fos_tpu.linalg import hsde_ops
+
+            p1, p2 = hsde_ops.mv_pair(op, jnp.asarray(x), jnp.asarray(z))
+            np.testing.assert_allclose(np.asarray(p1), np.asarray(y1),
+                                       atol=1e-6)
+            np.testing.assert_allclose(np.asarray(p2), np.asarray(y2),
+                                       atol=1e-6)
+
+    # ELL with genuinely scattered (non-banded) columns
+    A = sp.random(700, 900, density=0.01,
+                  random_state=np.random.RandomState(9), format="csr")
+    A = A.astype(np.float32)
+    op = BlockedEllOp.create(A)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(900).astype(np.float32)
+    z = rng.standard_normal(700).astype(np.float32)
+    y1, y2 = op.mv_pair(jnp.asarray(x), jnp.asarray(z))
+    np.testing.assert_allclose(np.asarray(y1), A @ x, rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(y2), A.T @ z, rtol=2e-5, atol=2e-4)
+
+
 def test_banded_auto_selected_and_solves():
     """auto sparse_format picks the banded layout for banded matrices and
     the solve matches the densified path."""

@@ -29,6 +29,24 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.tree_util.register_pytree_node_class
+class _DenseOp:
+    """Dense bandwidth reference, pytree so it passes as a jit argument."""
+
+    def __init__(self, A):
+        self.A = A
+
+    def tree_flatten(self):
+        return (self.A,), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+    def mv(self, x):
+        return self.A @ x
+
+
 def _tridiag_ops(nrb, bs=128, seed=7):
     from fos_tpu.config import is_tpu_backend
     from fos_tpu.linalg.sparse_ell import (BandedBlockOp, BlockedEllOp,
@@ -59,20 +77,32 @@ def _tridiag_ops(nrb, bs=128, seed=7):
 
 
 def _time_mv(op, n, iters=200):
+    # op is passed as a jit ARGUMENT (ops are pytrees): closing over the
+    # tile arrays embeds them as HLO constants, and the axon remote-compile
+    # endpoint rejects large request bodies (HTTP 413).
+    # DIFFERENTIAL timing: the tunnel's fetch cost reached ~28 ms round 4,
+    # so total/iters inflates per-op cost by RTT/iters; timing the chain at
+    # N and 2N reps and differencing cancels every fixed cost exactly.
+    import functools
+
     x0 = jnp.ones((n,), jnp.float32)
 
-    @jax.jit
-    def loop(x):
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def loop(op, x, reps):
         def body(_, x):
             y = op.mv(x)
             return y / (jnp.linalg.norm(y) + 1.0)  # data dependence
 
-        return jax.lax.fori_loop(0, iters, body, x)
+        return jax.lax.fori_loop(0, reps, body, x)
 
-    float(jnp.sum(loop(x0)))  # compile + warm
+    float(jnp.sum(loop(op, x0, iters)))  # compile + warm
+    float(jnp.sum(loop(op, x0, 2 * iters)))
     t0 = time.perf_counter()
-    float(jnp.sum(loop(x0)))
-    return (time.perf_counter() - t0) / iters
+    float(jnp.sum(loop(op, x0, iters)))
+    t1 = time.perf_counter()
+    float(jnp.sum(loop(op, x0, 2 * iters)))
+    t2 = time.perf_counter()
+    return max(((t2 - t1) - (t1 - t0)) / iters, 1e-12)
 
 
 def main(sizes):
@@ -87,11 +117,7 @@ def main(sizes):
                 f"ell {tile_bytes/dt_e/1e9:7.1f} GB/s  "
                 f"band {tile_bytes/dt_b/1e9:7.1f} GB/s")
         if A is not None:
-            class _D:
-                def mv(self, x):
-                    return A @ x
-
-            dt_d = _time_mv(_D(), n)
+            dt_d = _time_mv(_DenseOp(A), n)
             line += f"  dense({4*m*n/2**20:.0f} MiB) {4*m*n/dt_d/1e9:7.1f} GB/s"
         print(line)
 
