@@ -196,14 +196,13 @@ def sdp_batched_bench(alg=None, Bs=64, d=64, bench_iters=300,
     b_sdp = jnp.zeros((Bs, 1 + L), jnp.float32).at[:, 0].set(1.0)
     K1sdp = ConeSpec(((Cone.ZERO, 1), (Cone.PSD, L)))
     form_sdp = build_batched_form(A_sdp, b_sdp, sC, K1sdp, _free(L))
-    rsdp = solve_batched(alg, form_sdp, max_iters=bench_iters, eps=0.0,
-                         checki=100, unroll=2)
-    float(jnp.sum(rsdp.guess))
-    t0 = time.perf_counter()
-    rsdp = solve_batched(alg, form_sdp, max_iters=bench_iters, eps=0.0,
-                         checki=100, unroll=2)
-    float(jnp.sum(rsdp.guess))
-    sdp_iters_per_s = Bs * bench_iters / (time.perf_counter() - t0)
+
+    def make_run_sdp(n):
+        return lambda f: solve_batched(alg, f, max_iters=n, eps=0.0,
+                                       checki=100, unroll=2)
+
+    sdp_iters_per_s = Bs * diff_iters_per_s(make_run_sdp, bench_iters,
+                                            form_sdp)
     # quality: budgeted eps solve vs the host-f64 eigendecomposition
     rq = solve_batched(alg, form_sdp, max_iters=quality_iters, eps=eps,
                        checki=100, unroll=2)
@@ -220,8 +219,36 @@ def sdp_batched_bench(alg=None, Bs=64, d=64, bench_iters=300,
     }
 
 
-# TPU v5e HBM bandwidth (speed-of-light reference for hbm_frac fields)
+# TPU v5e HBM bandwidth (speed-of-light reference for hbm_frac fields;
+# 743 GB/s is the best dense-matvec read rate measured on this chip)
 HBM_PEAK_GBPS = 819.0
+
+
+def diff_iters_per_s(make_run, n, *args):
+    """True iterations/s with the tunnel fetch cost cancelled.
+
+    The axon tunnel's per-fetch cost reached ~28 ms in round 4 (round 2:
+    0.5-1.4 ms), so `total/iters` timings under ~1 s are dominated by it.
+    Time the same solve compiled for n and 2n iterations and difference:
+    (T(2n) - T(n)) / n cancels every fixed cost (fetch, dispatch, loop
+    spin-up) exactly.  ``make_run(n)`` must return a jitted fn running
+    exactly n iterations; ``args`` are its call arguments."""
+    import time as _time
+    import jax.numpy as _jnp
+
+    r1, r2 = make_run(n), make_run(2 * n)
+
+    def sync(res):
+        return float(_jnp.sum(res.guess))
+
+    sync(r1(*args))  # compile + warm
+    sync(r2(*args))
+    t0 = _time.perf_counter()
+    sync(r1(*args))
+    t1 = _time.perf_counter()
+    sync(r2(*args))
+    t2 = _time.perf_counter()
+    return n / max((t2 - t1) - (t1 - t0), 1e-9)
 
 
 def _section(extras, name, fn):
@@ -255,21 +282,30 @@ def exp_pow_projection_bench():
     V = jax.random.normal(key, (K, 3), jnp.float32) * 2.0
     alpha = jnp.full((K,), 0.3, jnp.float32)
 
+    import functools
+
     stats = {}
-    for name, fn in (
-        ("exp", jax.jit(jax.vmap(project_exp_single))),
-        ("pow", jax.jit(jax.vmap(project_pow_single, in_axes=(0, 0)))),
-    ):
-        args = (V,) if name == "exp" else (V, alpha)
-        float(jnp.sum(fn(*args)))  # compile + warm
+    for name in ("exp", "pow"):
+        @functools.partial(jax.jit, static_argnames=("reps",))
+        def chain(V, alpha, reps, name=name):
+            def body(_, v):
+                if name == "pow":
+                    v = jax.vmap(project_pow_single, in_axes=(0, 0))(v, alpha)
+                else:
+                    v = jax.vmap(project_exp_single)(v)
+                return v * 1.0000001  # keep the chain data-dependent
+            return jax.lax.fori_loop(0, reps, body, V)
+
+        R = 5
+        float(jnp.sum(chain(V, alpha, R)))  # compile + warm
+        float(jnp.sum(chain(V, alpha, 2 * R)))
         t0 = time.perf_counter()
-        reps = 10
-        out = V
-        for _ in range(reps):
-            out = fn(out, alpha) if name == "pow" else fn(out)
-        float(jnp.sum(out))
-        dt = time.perf_counter() - t0
-        stats[f"{name}_ns_per_projection"] = round(dt / (reps * K) * 1e9, 1)
+        float(jnp.sum(chain(V, alpha, R)))
+        t1 = time.perf_counter()
+        float(jnp.sum(chain(V, alpha, 2 * R)))
+        t2 = time.perf_counter()
+        per = ((t2 - t1) - (t1 - t0)) / R
+        stats[f"{name}_ns_per_projection"] = round(per / K * 1e9, 2)
     return stats
 
 
@@ -297,15 +333,27 @@ def sharded_smoke_bench():
     y_local = op.mv(x)
     y_shard = sop.mv(x)
     err = float(jnp.max(jnp.abs(y_local - y_shard)))
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def chain(sop, y, reps):
+        def body(_, y):
+            z = sop.rmv(sop.mv(y))
+            return z / (jnp.linalg.norm(z) + 1.0)
+        return jax.lax.fori_loop(0, reps, body, y)
+
+    R = 100
+    float(jnp.sum(chain(sop, x, R)))
+    float(jnp.sum(chain(sop, x, 2 * R)))
     t0 = time.perf_counter()
-    reps = 50
-    y = x
-    for _ in range(reps):
-        y = sop.rmv(sop.mv(y))
-    float(jnp.sum(y))
-    dt = time.perf_counter() - t0
+    float(jnp.sum(chain(sop, x, R)))
+    t1 = time.perf_counter()
+    float(jnp.sum(chain(sop, x, 2 * R)))
+    t2 = time.perf_counter()
+    per = ((t2 - t1) - (t1 - t0)) / R
     return {"agreement_max_err": err,
-            "mv_rmv_pair_us": round(dt / reps * 1e6, 1)}
+            "mv_rmv_pair_us": round(per * 1e6, 1)}
 
 
 def tpu_bench():
@@ -333,35 +381,31 @@ def tpu_bench():
         x0 = form.initial_value(form.dtype)
 
         # eps is traced, so throughput (eps=0: never exits early) and
-        # quality (eps=1e-5) share ONE compilation.  NOTE: block_until_ready
-        # is not a reliable sync on the axon tunnel — fetch a scalar.
-        run = jax.jit(lambda f, x, eps: fused_solve(
-            alg, f, x, max_iters=BENCH_ITERS, eps=eps, checki=CHECKI, unroll=8))
+        # quality (eps=1e-5) share a compilation per max_iters.  NOTE:
+        # block_until_ready is not a reliable sync on the axon tunnel —
+        # fetch a scalar; timing is differential (see diff_iters_per_s).
+        def make_run(n):
+            return jax.jit(lambda f, x, eps: fused_solve(
+                alg, f, x, max_iters=n, eps=eps, checki=CHECKI, unroll=8))
 
-        def sync(r):
-            return float(jnp.sum(r.guess))
-
+        run = make_run(BENCH_ITERS)
         res = run(form, x0, 0.0)
-        sync(res)  # compile + warm
+        float(jnp.sum(res.guess))  # compile + warm
         assert int(res.iters) == BENCH_ITERS, f"early exit at {int(res.iters)}"
-        times = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            res = run(form, x0, 0.0)
-            sync(res)
-            times.append(time.perf_counter() - t0)
-        dt = sorted(times)[1]  # median of 3
-        headline["iters_per_s"] = BENCH_ITERS / dt
-        # effective HBM traffic: ~4 A-passes per outer iteration (measured,
-        # PERF.md headline: the 4000^2 point implies ~650 GB/s at 2.5k
-        # iters/s with the same estimate) x (A bytes, f32)
-        gbps = headline["iters_per_s"] * 4 * (M * N * 4) / 1e9
+        headline["iters_per_s"] = diff_iters_per_s(
+            make_run, BENCH_ITERS, form, x0, 0.0)
+        # effective HBM traffic MODEL: ~2 A-passes per outer iteration at
+        # steady state — XLA fuses each q_mul's (A@z1, A'@z2) into ONE HBM
+        # pass, and the warm-started CG typically needs ~0-1 inner
+        # iterations between the rhs and v=Qu q_muls.  (A 4-pass model gave
+        # hbm_frac > 1.5 at the true 4000^2 rate, i.e. it over-counts.)
+        gbps = headline["iters_per_s"] * 2 * (M * N * 4) / 1e9
         extras["main_effective_gbps"] = round(gbps, 1)
         extras["main_hbm_frac"] = round(gbps / HBM_PEAK_GBPS, 3)
 
         # quality: eps=1e-5 operating point on the same problem
         r2 = run(form, x0, 1e-5)
-        sync(r2)
+        float(jnp.sum(r2.guess))
         l = M + N + 1
         tau = r2.guess[l - 1]
         xsol = np.asarray(r2.guess[:N] / tau)
@@ -391,17 +435,15 @@ def tpu_bench():
             c2 = jnp.abs(jax.random.normal(k3, (mn,), jnp.float32))
             prob2 = conic_problem(A2, b2, c2, nonneg(mn), nonneg(mn))
             form2 = HSDEForm.build(prob2)
-            run2 = jax.jit(lambda f, x, eps: fused_solve(
-                alg, f, x, max_iters=300, eps=eps, checki=100, unroll=4))
+
+            def make_run2(n):
+                return jax.jit(lambda f, x, eps: fused_solve(
+                    alg, f, x, max_iters=n, eps=eps, checki=100, unroll=4))
+
             x02 = form2.initial_value(form2.dtype)
-            r = run2(form2, x02, 0.0)
-            float(jnp.sum(r.guess))
-            t0 = time.perf_counter()
-            r = run2(form2, x02, 0.0)
-            float(jnp.sum(r.guess))
-            ips = 300 / (time.perf_counter() - t0)
+            ips = diff_iters_per_s(make_run2, 300, form2, x02, 0.0)
             scaling[f"{mn}x{mn}_iters_per_s"] = round(ips, 1)
-            gbps = ips * 4 * (mn * mn * 4) / 1e9
+            gbps = ips * 2 * (mn * mn * 4) / 1e9  # see main-section model
             scaling[f"{mn}x{mn}_effective_gbps"] = round(gbps, 1)
             scaling[f"{mn}x{mn}_hbm_frac"] = round(gbps / HBM_PEAK_GBPS, 3)
         extras["scaling"] = scaling
@@ -420,13 +462,13 @@ def tpu_bench():
               + jnp.abs(jax.random.normal(k3, (B, bm), jnp.float32)))
         c3 = jnp.abs(jax.random.normal(k4, (B, bn), jnp.float32))
         form3 = build_batched_form(A3, b3, c3, nonneg(bm), nonneg(bn))
-        rb = solve_batched(alg, form3, max_iters=300, eps=0.0, checki=100, unroll=4)
-        float(jnp.sum(rb.guess))
-        t0 = time.perf_counter()
-        rb = solve_batched(alg, form3, max_iters=300, eps=0.0, checki=100, unroll=4)
-        float(jnp.sum(rb.guess))
+
+        def make_runb(n):
+            return lambda f: solve_batched(alg, f, max_iters=n, eps=0.0,
+                                           checki=100, unroll=4)
+
         extras["batched_128x(64x96)_agg_iters_per_s"] = round(
-            B * 300 / (time.perf_counter() - t0), 1)
+            B * diff_iters_per_s(make_runb, 300, form3), 1)
 
         # BASELINE config 5 scale: 1024-instance scenario-LP batch
         B2 = 1024
@@ -437,23 +479,10 @@ def tpu_bench():
               + jnp.abs(jax.random.normal(k3, (B2, bm), jnp.float32)))
         c4 = jnp.abs(jax.random.normal(k4, (B2, bn), jnp.float32))
         form4 = build_batched_form(A4, b4, c4, nonneg(bm), nonneg(bn))
-        rb4 = solve_batched(alg, form4, max_iters=300, eps=0.0, checki=100,
-                            unroll=4)
-        float(jnp.sum(rb4.guess))
-        t0 = time.perf_counter()
-        rb4 = solve_batched(alg, form4, max_iters=300, eps=0.0, checki=100,
-                            unroll=4)
-        float(jnp.sum(rb4.guess))
         extras["batched_1024x(64x96)_agg_iters_per_s"] = round(
-            B2 * 300 / (time.perf_counter() - t0), 1)
+            B2 * diff_iters_per_s(make_runb, 300, form4), 1)
 
     _section(extras, "batched", batched_section)
-
-    # batched SDP (VERDICT r2 item 8; r3 crash site — now dtype-pinned AND
-    # guarded)
-    sdp_stats = _section(extras, "batched sdp", lambda: sdp_batched_bench(alg))
-    if sdp_stats is not None:
-        extras["sdp_batched_64x(64x64psd)"] = sdp_stats
 
     def parity_section():
         # objective parity vs the f64 path (VERDICT r1 item 1): chunked f32
@@ -484,36 +513,29 @@ def tpu_bench():
         extras["sparse_banded_1e7nnz"] = stats
         prob_sp = ConicProblem(op, bsp, csp, nonneg(op.m), nonneg(op.n))
         form_sp = HSDEForm.build(prob_sp, densify=False)
-        run_sp = jax.jit(lambda f, x, eps: fused_solve(
-            alg, f, x, max_iters=300, eps=eps, checki=100, unroll=4))
+
+        def make_run_sp(n):
+            return jax.jit(lambda f, x, eps: fused_solve(
+                alg, f, x, max_iters=n, eps=eps, checki=100, unroll=8))
+
         x0sp = form_sp.initial_value(form_sp.dtype)
-        r = run_sp(form_sp, x0sp, 0.0)
-        float(jnp.sum(r.guess))
-        t0 = time.perf_counter()
-        r = run_sp(form_sp, x0sp, 0.0)
-        float(jnp.sum(r.guess))
-        ips = 300 / (time.perf_counter() - t0)
+        ips = diff_iters_per_s(make_run_sp, 300, form_sp, x0sp, 0.0)
         stats["iters_per_s"] = round(ips, 1)
-        # tile-table bytes actually streamed: ~4 (mv+rmv pairs)/iter x both
-        # tables; ELL stores blocks + blocks_t (f32)
-        tile_bytes = 2 * nnz_sp * 4
-        gbps = ips * 2 * tile_bytes / 1e9  # 2 pair-passes per iteration
+        # HBM tile traffic: the fused mv_pair kernel streams the A table
+        # once per q_mul; ~4 q_muls/iteration at steady state
+        tile_bytes = nnz_sp * 4
+        gbps = ips * 4 * tile_bytes / 1e9
         stats["effective_gbps"] = round(gbps, 1)
         stats["hbm_frac"] = round(gbps / HBM_PEAK_GBPS, 3)
 
-        # A/B: the banded (contiguous x window) layout of the same problem —
-        # replaces the ELL kernel's per-tile x gather (the round-2 bandwidth
-        # limiter) with one contiguous slice per row block.
+        # A/B: banded (contiguous x window) layout of the same problem vs
+        # the ELL layout above (both use their fused mv_pair kernels)
         def band_ab():
             prob_bd = ConicProblem(op_band, bsp, csp, nonneg(op.m), nonneg(op.n))
             form_bd = HSDEForm.build(prob_bd, densify=False)
-            rbd = run_sp(form_bd, form_bd.initial_value(form_bd.dtype), 0.0)
-            float(jnp.sum(rbd.guess))
-            t0 = time.perf_counter()
-            rbd = run_sp(form_bd, form_bd.initial_value(form_bd.dtype), 0.0)
-            float(jnp.sum(rbd.guess))
-            stats["band_layout_iters_per_s"] = round(
-                300 / (time.perf_counter() - t0), 1)
+            stats["band_layout_iters_per_s"] = round(diff_iters_per_s(
+                make_run_sp, 300, form_bd,
+                form_bd.initial_value(form_bd.dtype), 0.0), 1)
 
         _section(extras, "band A/B", band_ab)
 
@@ -548,15 +570,13 @@ def tpu_bench():
                 else Asp5.astype(np.float32),
                 jnp.asarray(b5), jnp.asarray(c5), nonneg(2000), nonneg(2000))
             form5 = HSDEForm.build(prob5, densify=dns, sparse_format=fmt)
-            run5 = jax.jit(lambda f, x: fused_solve(
-                alg, f, x, max_iters=200, eps=0.0, checki=100, unroll=4))
+
+            def make_run5(n):
+                return jax.jit(lambda f, x: fused_solve(
+                    alg, f, x, max_iters=n, eps=0.0, checki=100, unroll=4))
+
             x05 = form5.initial_value(form5.dtype)
-            rr = run5(form5, x05)
-            float(jnp.sum(rr.guess))
-            tq0 = time.perf_counter()
-            rr = run5(form5, x05)
-            float(jnp.sum(rr.guess))
-            t5[fmt] = time.perf_counter() - tq0
+            t5[fmt] = 200 / diff_iters_per_s(make_run5, 200, form5, x05)
         extras["sparse_5pct_bell_vs_dense_time_ratio"] = round(
             t5["bell"] / t5["dense"], 2)
 
@@ -571,6 +591,14 @@ def tpu_bench():
     ep = _section(extras, "exp/pow cost", exp_pow_projection_bench)
     if ep is not None:
         extras["exp_pow_projection"] = ep
+
+    # batched SDP LAST among device sections: it crashed the TPU worker in
+    # r3 AND r4 dry runs, and a dead worker fails every later device
+    # section — ordering caps the blast radius while the crash is chased
+    # (the guard still records the error and the JSON line still prints)
+    sdp_stats = _section(extras, "batched sdp", lambda: sdp_batched_bench(alg))
+    if sdp_stats is not None:
+        extras["sdp_batched_64x(64x64psd)"] = sdp_stats
 
     def baseline_section():
         # baseline subprocess, single BLAS thread
