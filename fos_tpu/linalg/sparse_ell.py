@@ -552,6 +552,7 @@ class BandedBlockOp:
         return xb.reshape(nblocks + S, width)
 
     _kernel = staticmethod(_band_mv)
+    _pair_kernel = staticmethod(_band_mv_pair)
 
     def _mv_args(self, x):
         """(index table, tile table, padded input) for the mv kernel —
@@ -675,6 +676,7 @@ class BlockedEllOp:
         return xb.reshape(nb, width)
 
     _kernel = staticmethod(_bell_mv)
+    _pair_kernel = staticmethod(_bell_mv_pair)
 
     def _mv_args(self, x):
         """(index table, tile table, padded input) for the mv kernel —
@@ -859,6 +861,42 @@ class RowShardedOp:
         idx, blocks, yb = self.inner._rmv_args(y)
         z = self._sharded_kernel(idx, blocks, yb)
         return z.reshape(-1)[: self.inner.n]
+
+    def mv_pair(self, x, z):
+        """Fused (A @ x, A' @ z) from ONE stream of the sharded A table:
+        each device runs the local fused-pair kernel on its block rows,
+        then y1 = tiled all-gather over the row axis (as mv) and y2 = psum
+        of the per-device partial A'z (a device's rows contribute only to
+        its own column windows, zero elsewhere).  Halves per-device HBM
+        tile traffic exactly like the local mv_pair."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        inner = self.inner
+        idx, blocks, xb = inner._mv_args(x)
+        nrb = blocks.shape[0]
+        bm = blocks.shape[-2]
+        pad = nrb * bm - z.shape[0]
+        zb = (jnp.pad(z, (0, pad)) if pad else z).reshape(nrb, bm)
+        interpret = inner.interpret
+        kernel = type(inner)._pair_kernel
+        axes = self.axis
+
+        def local(idx_l, blocks_l, xb_l, zb_l):
+            y1, y2 = kernel(idx_l, blocks_l, xb_l, zb_l, interpret=interpret)
+            for a in reversed(axes):  # inner-first (see _sharded_kernel)
+                y1 = jax.lax.all_gather(y1, a, axis=0, tiled=True)
+            y2 = jax.lax.psum(y2, axes)
+            return y1, y2
+
+        nd1 = blocks.ndim - 1
+        y1, y2 = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(axes, *([None] * (idx.ndim - 1))),
+                      P(axes, *([None] * nd1)), P(None, None), P(axes, None)),
+            out_specs=(P(None, None), P(None, None)), check_vma=False,
+        )(idx, blocks, xb, zb)
+        return (y1.reshape(-1)[: inner.m], y2.reshape(-1)[: inner.n])
 
     def todense(self):
         return self.inner.todense()

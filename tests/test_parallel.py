@@ -388,6 +388,14 @@ def test_row_sharded_sparse_op(rng):
         np.testing.assert_allclose(np.asarray(sh.rmv(jnp.asarray(y))),
                                    np.asarray(op.rmv(jnp.asarray(y))),
                                    atol=2e-4)
+        # fused sharded pair: all-gathered A@x + psum'd partial A'z
+        p1, p2 = sh.mv_pair(jnp.asarray(x), jnp.asarray(y))
+        np.testing.assert_allclose(np.asarray(p1),
+                                   np.asarray(op.mv(jnp.asarray(x))),
+                                   atol=2e-4)
+        np.testing.assert_allclose(np.asarray(p2),
+                                   np.asarray(op.rmv(jnp.asarray(y))),
+                                   atol=2e-4)
 
     # non-divisible block-row counts: 640 -> 5 block rows zero-padded to 8
     A5 = sp.diags([np.ones(640)], offsets=[0], format="csr").astype(np.float32)
