@@ -208,22 +208,12 @@ def sdp_batched_bench(alg=None, Bs=64, d=64, bench_iters=300,
     # kills single dispatches that run for several minutes (bisected on
     # hardware: the full-size batched SDP passes at 1000 fused iterations
     # and reliably crashes the worker at 4000 — r3's "SDP crash" was this
-    # watchdog, not only the psd_poly f64 promotion), so the quality
-    # budget resumes segment-to-segment from the previous iterates.
-    import numpy as _np
-
-    seg = 1000
-    x = None
-    status = _np.zeros((Bs,), _np.int32)
-    rq = None
-    for _ in range(max(quality_iters // seg, 1)):
-        rq = solve_batched(alg, form_sdp, max_iters=seg, eps=eps,
-                           checki=100, unroll=2, initx=x)
-        x = jnp.asarray(rq.state.x)
-        new = _np.asarray(rq.status)
-        status = _np.where(status != 0, status, new)
-        if (status != 0).all():
-            break
+    # watchdog, not only the psd_poly f64 promotion).  segment_iters
+    # resumes the FULL solver state, so the trajectory is bit-identical
+    # to one long run (tests/test_parallel.py pins this).
+    rq = solve_batched(alg, form_sdp, max_iters=quality_iters, eps=eps,
+                       checki=100, unroll=2, segment_iters=1000)
+    status = np.asarray(rq.status)
     lsdp = (1 + L) + L + 1
     tau_s = rq.guess[:, lsdp - 1]
     obj = jnp.einsum("bl,bl->b", sC, rq.guess[:, :L]) / tau_s

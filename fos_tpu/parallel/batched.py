@@ -70,15 +70,9 @@ def build_batched_form(A, b, c, K1: ConeSpec, K2: ConeSpec, *, direct=False,
 
 @functools.partial(jax.jit, static_argnames=("alg", "max_iters", "eps", "checki",
                                              "record_history", "unroll"))
-def solve_batched(alg, form: HSDEForm, *, max_iters: int = 10000,
-                  eps: float = 1e-5, checki: int = 100,
-                  record_history: bool = False, unroll: int = 1,
-                  initx=None) -> FusedResult:
-    """vmap the fused solver over the leading batch axis of ``form``.
-
-    ``initx``: optional ``(B, 2l)`` warm-start iterates (e.g. a previous
-    batch's ``result.state.x`` for parametric sweeps — the batched twin of
-    ``solve(..., warm_start=prev)``)."""
+def _solve_batched_once(alg, form: HSDEForm, *, max_iters, eps, checki,
+                        record_history, unroll, initx,
+                        resume_state=None) -> FusedResult:
     B = form.b.shape[0]
     l = form.n + form.m + 1
     if initx is not None:
@@ -93,12 +87,85 @@ def solve_batched(alg, form: HSDEForm, *, max_iters: int = 10000,
             .at[:, 2 * l - 1].set(1.0)
         )
 
-    def one(form_i, x0_i):
+    if resume_state is not None:
+        def one(form_i, x0_i, st_i):
+            return fused_solve(alg, form_i, x0_i, max_iters=max_iters,
+                               eps=eps, checki=checki,
+                               record_history=record_history, unroll=unroll,
+                               resume_state=st_i)
+
+        return jax.vmap(one)(form, x0, resume_state)
+
+    def one0(form_i, x0_i):
         return fused_solve(alg, form_i, x0_i, max_iters=max_iters, eps=eps,
                            checki=checki, record_history=record_history,
                            unroll=unroll)
 
-    return jax.vmap(one)(form, x0)
+    return jax.vmap(one0)(form, x0)
+
+
+def solve_batched(alg, form: HSDEForm, *, max_iters: int = 10000,
+                  eps: float = 1e-5, checki: int = 100,
+                  record_history: bool = False, unroll: int = 1,
+                  initx=None, segment_iters: int = None) -> FusedResult:
+    """vmap the fused solver over the leading batch axis of ``form``.
+
+    ``initx``: optional ``(B, 2l)`` warm-start iterates (e.g. a previous
+    batch's ``result.state.x`` for parametric sweeps — the batched twin of
+    ``solve(..., warm_start=prev)``).
+
+    ``segment_iters``: split the budget into host-resumed fused segments
+    of at most this many iterations each.  The axon TPU worker kills
+    single dispatches that run for several minutes (measured round 4: a
+    full-size batched SDP passes at 1000 fused iterations and crashes the
+    worker at 4000), so very long batched solves should set this to
+    ~1000.  Each segment resumes from the previous segment's FULL solver
+    state (``FusedResult.state``), so the trajectory — including the
+    decreasing-accuracy CG schedule and warm starts — continues exactly
+    as one long run; per-instance status is the FIRST non-Continue
+    status observed, iteration counts carry in ``state.i``, and
+    ``record_history`` chunks concatenate across segments."""
+    if segment_iters is None or segment_iters >= max_iters:
+        return _solve_batched_once(alg, form, max_iters=max_iters, eps=eps,
+                                   checki=checki,
+                                   record_history=record_history,
+                                   unroll=unroll, initx=initx)
+
+    merged = None
+    done = None
+    hists = []
+    state = None
+    remaining = max_iters
+    while remaining > 0:
+        seg = min(segment_iters, remaining)
+        remaining -= seg
+        res = _solve_batched_once(alg, form, max_iters=seg, eps=eps,
+                                  checki=checki,
+                                  record_history=record_history,
+                                  unroll=unroll, initx=initx,
+                                  resume_state=state)
+        if record_history:
+            hists.append(res.hist)
+        if merged is None:
+            merged = res
+            done = res.status != 0
+        else:
+            keep = done  # instances already terminated keep their result
+            merged = jax.tree_util.tree_map(
+                lambda old, new: jnp.where(
+                    keep.reshape((-1,) + (1,) * (new.ndim - 1)), old, new)
+                if getattr(new, "ndim", 0) > 0 else old, merged, res)
+            done = done | (res.status != 0)
+            merged = merged._replace(
+                status=jnp.where(done, merged.status, 0))
+        state = merged.state
+        if bool(jnp.all(done)):
+            break
+    # state.i carries the true cumulative count (resume keeps counting)
+    merged = merged._replace(iters=merged.state.i)
+    if record_history:
+        merged = merged._replace(hist=jnp.concatenate(hists, axis=1))
+    return merged
 
 
 def form_initial_value(form: HSDEForm):

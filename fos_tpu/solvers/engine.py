@@ -113,7 +113,7 @@ class FusedResult(NamedTuple):
 
 def fused_solve(alg, form, x0, *, max_iters: int = 10000, eps: float = 1e-5,
                 checki: int = 100, record_history: bool = False,
-                unroll: int = 1) -> FusedResult:
+                unroll: int = 1, resume_state: SolverState = None) -> FusedResult:
     """Entire solve as one ``lax.while_loop`` over check-interval chunks —
     zero host synchronization, suitable for ``vmap`` over problem batches and
     ``pjit``/sharding over a device mesh.
@@ -139,14 +139,30 @@ def fused_solve(alg, form, x0, *, max_iters: int = 10000, eps: float = 1e-5,
 
     nchunks, rem = divmod(max_iters, checki)
     total_chunks = nchunks + (1 if rem else 0)
-    st0 = init_solver_state(alg, form.sets, x0)
-    floors = form.fused_cg_floors() if hasattr(form, "fused_cg_floors") else None
-    recovery = (floors is not None and isinstance(st0.s1_state, CGState)
-                and hasattr(form, "gap_stalled_traced"))
-    if recovery:
-        default_floor, tight_floor = floors
-        st0 = st0._replace(s1_state=st0.s1_state._replace(
-            floor=jnp.asarray(default_floor, x0.dtype)))
+    if resume_state is not None:
+        # Resumed segment (``resume_state``: a prior FusedResult.state, e.g.
+        # from solve_batched(segment_iters=...)): the FULL state carries
+        # over — iteration counter (the decreasing-accuracy CG schedule
+        # must not restart loose: measured, an x-only restart stalls the
+        # dual residual at ~1e-4), CG warm start, recovery floor, and
+        # algorithm auxiliaries — so the trajectory continues exactly.
+        st0 = resume_state
+        x0 = st0.x
+        recovery = (hasattr(form, "fused_cg_floors")
+                    and isinstance(st0.s1_state, CGState)
+                    and hasattr(form, "gap_stalled_traced"))
+        if recovery:
+            _, tight_floor = form.fused_cg_floors()
+    else:
+        st0 = init_solver_state(alg, form.sets, x0)
+        floors = (form.fused_cg_floors()
+                  if hasattr(form, "fused_cg_floors") else None)
+        recovery = (floors is not None and isinstance(st0.s1_state, CGState)
+                    and hasattr(form, "gap_stalled_traced"))
+        if recovery:
+            default_floor, tight_floor = floors
+            st0 = st0._replace(s1_state=st0.s1_state._replace(
+                floor=jnp.asarray(default_floor, x0.dtype)))
     chk0 = form.check(st0.z_check, eps, prev=st0.z_check_prev)
     nhist = len(tuple(chk0))
     hist0 = jnp.zeros((total_chunks, nhist), x0.dtype) if record_history else jnp.zeros((0, 0), x0.dtype)

@@ -359,6 +359,35 @@ def test_batched_warm_start(rng):
         int(np.max(np.asarray(cold.iters)))
 
 
+def test_solve_batched_segmented_identical(rng):
+    """segment_iters resumes the FULL solver state, so a segmented batched
+    solve is bit-identical to one long fused run (statuses, iteration
+    counts, iterates).  This is the crash-proof path for the axon TPU
+    worker's long-dispatch watchdog (PERF.md round 4)."""
+    from fos_tpu.parallel.batched import build_batched_form, solve_batched
+
+    B, m, n = 4, 16, 24
+    A = rng.standard_normal((B, m, n))
+    xs = np.abs(rng.standard_normal((B, n)))
+    b = np.einsum("bmn,bn->bm", A, xs) + np.abs(rng.standard_normal((B, m)))
+    c = np.abs(rng.standard_normal((B, n)))
+    form = build_batched_form(jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
+                              nonneg(m), nonneg(n))
+    full = solve_batched(DR(), form, max_iters=8000, eps=1e-7, checki=100)
+    seg = solve_batched(DR(), form, max_iters=8000, eps=1e-7, checki=100,
+                        segment_iters=700)  # non-divisible on purpose
+    np.testing.assert_array_equal(np.asarray(seg.status),
+                                  np.asarray(full.status))
+    np.testing.assert_array_equal(np.asarray(seg.iters),
+                                  np.asarray(full.iters))
+    np.testing.assert_allclose(np.asarray(seg.guess), np.asarray(full.guess),
+                               rtol=1e-12, atol=1e-12)
+    # history chunks concatenate to the same total
+    fh = solve_batched(DR(), form, max_iters=3000, eps=0.0, checki=100,
+                       record_history=True, segment_iters=1000)
+    assert fh.hist.shape[1] == 30
+
+
 def test_row_sharded_sparse_op(rng):
     """RowShardedOp: tile tables sharded over the model axis, local Pallas
     kernels under shard_map, one tiled all-gather per matvec — the
