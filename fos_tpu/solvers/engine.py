@@ -148,11 +148,12 @@ def fused_solve(alg, form, x0, *, max_iters: int = 10000, eps: float = 1e-5,
         # algorithm auxiliaries — so the trajectory continues exactly.
         st0 = resume_state
         x0 = st0.x
-        recovery = (hasattr(form, "fused_cg_floors")
-                    and isinstance(st0.s1_state, CGState)
+        floors = (form.fused_cg_floors()
+                  if hasattr(form, "fused_cg_floors") else None)
+        recovery = (floors is not None and isinstance(st0.s1_state, CGState)
                     and hasattr(form, "gap_stalled_traced"))
         if recovery:
-            _, tight_floor = form.fused_cg_floors()
+            _, tight_floor = floors
     else:
         st0 = init_solver_state(alg, form.sets, x0)
         floors = (form.fused_cg_floors()
