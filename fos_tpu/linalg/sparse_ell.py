@@ -121,24 +121,35 @@ def _bell_mv(cols, blocks, xb, *, interpret=False):
     )(cols, blocks, xb)
 
 
-def _band_mv_kernel(cs_ref, blocks_ref, x_ref, y_ref, *, mt, S):
+def _band_mv_kernel(cs_ref, blocks_ref, x_ref, y_ref, *, mt, st):
     """Banded variant: row-block i's occupied tiles live at contiguous
     block-columns [cs[i], cs[i] + S), so the per-x-row gather of the ELL
-    kernel (mt*kt separate (1, bn) dynamic slices — the diagnosed
-    bandwidth limiter, PERF.md round 2) becomes mt CONTIGUOUS (S, bn)
-    slices.  One grid step computes y[i*mt : (i+1)*mt] whole (no k-axis
-    accumulation passes)."""
+    kernel (mt*kt separate (1, bn) dynamic slices) becomes mt CONTIGUOUS
+    (st, bn) slices.  Wide bands stream in ``st``-tile slabs along a
+    second grid axis with y accumulation — one (mt, S) block at S=16
+    needs 8.4 MB/step and VMEM-OOMs at the 16 MB scoped limit (found on
+    hardware, round 4)."""
     i = pl.program_id(0)
+    kb = pl.program_id(1)
     xs = jnp.concatenate(
-        [x_ref[pl.ds(cs_ref[i * mt + r], S), :] for r in range(mt)])
-    a = blocks_ref[...]                      # (mt, S, bm, bn)
+        [x_ref[pl.ds(cs_ref[i * mt + r] + kb * st, st), :]
+         for r in range(mt)])
+    a = blocks_ref[...]                      # (mt, st, bm, bn)
     bm, bn = a.shape[2], a.shape[3]
     parts = jax.lax.dot_general(
-        a.reshape(mt * S, bm, bn), xs, (((2,), (1,)), ((0,), (0,))),
+        a.reshape(mt * st, bm, bn), xs, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )                                        # (mt*S, bm)
-    y_ref[...] = jnp.sum(parts.reshape(mt, S, bm), axis=1)
+    )                                        # (mt*st, bm)
+    contrib = jnp.sum(parts.reshape(mt, st, bm), axis=1)
+
+    @pl.when(kb == 0)
+    def _():
+        y_ref[...] = contrib
+
+    @pl.when(kb != 0)
+    def _():
+        y_ref[...] += contrib
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -149,17 +160,19 @@ def _band_mv(cs, blocks, xb, *, interpret=False):
     nrb, S, bm, bn = blocks.shape
     ncb_pad = xb.shape[0]
     mt = _m_block(nrb)
+    st = _k_block(S)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nrb // mt,),
+        grid=(nrb // mt, S // st),
         in_specs=[
-            pl.BlockSpec((mt, S, bm, bn), lambda i, cs: (i, i * 0, i * 0, i * 0)),
-            pl.BlockSpec((ncb_pad, bn), lambda i, cs: (i * 0, i * 0)),
+            pl.BlockSpec((mt, st, bm, bn),
+                         lambda i, k, cs: (i, k, i * 0, i * 0)),
+            pl.BlockSpec((ncb_pad, bn), lambda i, k, cs: (i * 0, i * 0)),
         ],
-        out_specs=pl.BlockSpec((mt, bm), lambda i, cs: (i, i * 0)),
+        out_specs=pl.BlockSpec((mt, bm), lambda i, k, cs: (i, i * 0)),
     )
     return pl.pallas_call(
-        functools.partial(_band_mv_kernel, mt=mt, S=S),
+        functools.partial(_band_mv_kernel, mt=mt, st=st),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nrb, bm), jnp.float32),
         cost_estimate=pl.CostEstimate(
@@ -172,35 +185,47 @@ def _band_mv(cs, blocks, xb, *, interpret=False):
 
 
 def _band_mv_pair_kernel(cs_ref, blocks_ref, x_ref, z_ref, y1_ref, y2_ref,
-                         *, mt, S):
+                         *, mt, st):
     """Fused pair: ONE stream of the A tile table produces BOTH ``A @ x``
     and ``A' @ z``.  The HSDE ``q_mul`` needs exactly this pair per
     application (hsde_ops.q_mul), and tile-table reads are the entire HBM
     cost of the sparse solve — the fused kernel halves them (and removes
     the need to even store the A' table for the solve path).
 
-    Forward: same one batched dot as :func:`_band_mv_kernel`.
-    Transpose: y2[cs_r + s] += a[r, s]' @ z_r, computed as the row-vector
-    product z_r' @ a[r, s] (natural tile layout, no transposes) with z
-    repeated S times along the batch axis; accumulated into the
-    VMEM-resident y2 output block (constant index map -> lives in VMEM
-    across all grid steps, flushed to HBM once at the end)."""
+    Forward: same one batched dot as :func:`_band_mv_kernel` (y1
+    accumulates over the st-slab grid axis, see there for the VMEM
+    budget).  Transpose: y2[cs_r + kb*st + s] += a[r, s]' @ z_r, computed
+    as the row-vector product z_r' @ a[r, s] (natural tile layout, no
+    transposes) with z repeated st times along the batch axis;
+    accumulated into the VMEM-resident y2 output block (constant index
+    map -> lives in VMEM across all grid steps, flushed once at the
+    end)."""
     i = pl.program_id(0)
-    a = blocks_ref[...]                      # (mt, S, bm, bn)
+    kb = pl.program_id(1)
+    a = blocks_ref[...]                      # (mt, st, bm, bn)
     bm, bn = a.shape[2], a.shape[3]
-    af = a.reshape(mt * S, bm, bn)
+    af = a.reshape(mt * st, bm, bn)
 
     xs = jnp.concatenate(
-        [x_ref[pl.ds(cs_ref[i * mt + r], S), :] for r in range(mt)])
+        [x_ref[pl.ds(cs_ref[i * mt + r] + kb * st, st), :]
+         for r in range(mt)])
     parts = jax.lax.dot_general(
         af, xs, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )                                        # (mt*S, bm)
-    y1_ref[...] = jnp.sum(parts.reshape(mt, S, bm), axis=1)
+    )                                        # (mt*st, bm)
+    contrib = jnp.sum(parts.reshape(mt, st, bm), axis=1)
+
+    @pl.when(kb == 0)
+    def _():
+        y1_ref[...] = contrib
+
+    @pl.when(kb != 0)
+    def _():
+        y1_ref[...] += contrib
 
     z = z_ref[...]                           # (mt, bm)
-    zs = jnp.repeat(z, S, axis=0)            # (mt*S, bm), r-major
+    zs = jnp.repeat(z, st, axis=0)           # (mt*st, bm), r-major
     # z_r' @ a[r,s] as [B,1,K] x [B,K,N] -> [B,1,N]: Mosaic's batched-dot
     # rule needs the lhs contraction on the LAST dim and the rhs
     # non-contracting dims as a suffix — this row-vector form satisfies
@@ -209,15 +234,15 @@ def _band_mv_pair_kernel(cs_ref, blocks_ref, x_ref, z_ref, y1_ref, y2_ref,
         zs[:, None, :], af, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )[:, 0, :]                               # (mt*S, bn) = a[r,s]' z_r
+    )[:, 0, :]                               # (mt*st, bn) = a[r,s]' z_r
 
-    @pl.when(i == 0)
+    @pl.when((i == 0) & (kb == 0))
     def _():
         y2_ref[...] = jnp.zeros_like(y2_ref)
 
     for r in range(mt):
-        w = pl.ds(cs_ref[i * mt + r], S)
-        y2_ref[w, :] += pt[r * S:(r + 1) * S]
+        w = pl.ds(cs_ref[i * mt + r] + kb * st, st)
+        y2_ref[w, :] += pt[r * st:(r + 1) * st]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -227,22 +252,23 @@ def _band_mv_pair(cs, blocks, xb, zb, *, interpret=False):
     nrb, S, bm, bn = blocks.shape
     ncb_pad = xb.shape[0]
     mt = _m_block(nrb)
+    st = _k_block(S)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nrb // mt,),
+        grid=(nrb // mt, S // st),
         in_specs=[
-            pl.BlockSpec((mt, S, bm, bn),
-                         lambda i, cs: (i, i * 0, i * 0, i * 0)),
-            pl.BlockSpec((ncb_pad, bn), lambda i, cs: (i * 0, i * 0)),
-            pl.BlockSpec((mt, bm), lambda i, cs: (i, i * 0)),
+            pl.BlockSpec((mt, st, bm, bn),
+                         lambda i, k, cs: (i, k, i * 0, i * 0)),
+            pl.BlockSpec((ncb_pad, bn), lambda i, k, cs: (i * 0, i * 0)),
+            pl.BlockSpec((mt, bm), lambda i, k, cs: (i, i * 0)),
         ],
         out_specs=[
-            pl.BlockSpec((mt, bm), lambda i, cs: (i, i * 0)),
-            pl.BlockSpec((ncb_pad, bn), lambda i, cs: (i * 0, i * 0)),
+            pl.BlockSpec((mt, bm), lambda i, k, cs: (i, i * 0)),
+            pl.BlockSpec((ncb_pad, bn), lambda i, k, cs: (i * 0, i * 0)),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_band_mv_pair_kernel, mt=mt, S=S),
+        functools.partial(_band_mv_pair_kernel, mt=mt, st=st),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((nrb, bm), jnp.float32),
                    jax.ShapeDtypeStruct((ncb_pad, bn), jnp.float32)],
@@ -527,8 +553,20 @@ class BandedBlockOp:
             m, n, rows, cols, vals.astype(np.float32), bm, bn)
         blocks_t, cs_t, _ = _build_band_arrays(
             n, m, cols, rows, vals.astype(np.float32), bn, bm)
-        return cls(jnp.asarray(blocks), jnp.asarray(cs),
-                   jnp.asarray(blocks_t), jnp.asarray(cs_t),
+
+        def pad_s(blk):
+            # S > 8 streams in 8-tile slabs along the second grid axis
+            # (the kernels need S % st == 0); zero tiles contribute 0
+            S = blk.shape[1]
+            r = (-S) % 8 if S > 8 else 0
+            if r:
+                blk = np.concatenate(
+                    [blk, np.zeros((blk.shape[0], r) + blk.shape[2:],
+                                   blk.dtype)], axis=1)
+            return blk
+
+        return cls(jnp.asarray(pad_s(blocks)), jnp.asarray(cs),
+                   jnp.asarray(pad_s(blocks_t)), jnp.asarray(cs_t),
                    m, n, bm, bn, interpret)
 
     @property

@@ -59,6 +59,27 @@ def test_fused_matches_chunked(rng):
     assert int(res.iters) == sol.iters
 
 
+def test_fused_resume_state_single(rng):
+    """fused_solve(resume_state=prev.state) continues the trajectory
+    exactly: two 700-iteration segments == one 1400-iteration run
+    (iterate, iteration counter, CG schedule all carried)."""
+    A, b, c = _lp_batch(rng, B=1)
+    A, b, c = A[0], b[0], c[0]
+    m, n = A.shape
+    prob = conic_problem(jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
+                         nonneg(m), nonneg(n))
+    form = HSDEForm.build(prob)
+    z0 = form.initial_value(form.dtype)
+    full = fused_solve(DR(), form, z0, max_iters=1400, eps=0.0, checki=100)
+    r1 = fused_solve(DR(), form, z0, max_iters=700, eps=0.0, checki=100)
+    r2 = fused_solve(DR(), form, z0, max_iters=700, eps=0.0, checki=100,
+                     resume_state=r1.state)
+    assert int(r2.state.i) == int(full.state.i) == 1400
+    np.testing.assert_allclose(np.asarray(r2.state.x),
+                               np.asarray(full.state.x),
+                               rtol=1e-12, atol=1e-12)
+
+
 def test_fused_budget_exact_and_history_gated(rng):
     """VERDICT r2 item 6: fused_solve must run the trailing
     max_iters % checki iterations (reference runs all max_iters,
