@@ -304,7 +304,7 @@ def exp_pow_projection_bench():
                 return v * 1.0000001  # keep the chain data-dependent
             return jax.lax.fori_loop(0, reps, body, V)
 
-        R = 5
+        R = 25  # R=5 differentials were noise-dominated (negative ns)
         float(jnp.sum(chain(V, alpha, R)))  # compile + warm
         float(jnp.sum(chain(V, alpha, 2 * R)))
         t0 = time.perf_counter()
@@ -312,7 +312,7 @@ def exp_pow_projection_bench():
         t1 = time.perf_counter()
         float(jnp.sum(chain(V, alpha, 2 * R)))
         t2 = time.perf_counter()
-        per = ((t2 - t1) - (t1 - t0)) / R
+        per = max(((t2 - t1) - (t1 - t0)) / R, 0.0)
         stats[f"{name}_ns_per_projection"] = round(per / K * 1e9, 2)
     return stats
 
