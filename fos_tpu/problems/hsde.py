@@ -276,8 +276,9 @@ class HSDEForm:
         x, y, tau, r, s, kappa = self.split(z)
         A, b, c = self.A, self.b, self.c
         nb, nc = self.norm_b, self.norm_c
-        Ax = hsde_ops.mv(A, x)
-        ATy = hsde_ops.rmv(A, y)
+        # one fused tile-table stream where A supports it (sparse pair
+        # kernels / PaddedDenseOp); identical to separate mv/rmv otherwise
+        Ax, ATy = hsde_ops.mv_pair(A, x, y)
         # With equilibration the residual vectors are unscaled back to the
         # ORIGINAL problem (D^{-1}, E^{-1} weights); norms nb/nc are original.
         wp = self.dinv if self.dinv is not None else 1.0

@@ -267,6 +267,30 @@ def test_banded_mv_pair_oracle():
     np.testing.assert_allclose(np.asarray(y2), A.T @ z, rtol=2e-5, atol=2e-4)
 
 
+def test_banded_wide_span_slabs():
+    """S > 8 bands stream in 8-tile slabs (round-4 VMEM fix): the padded-S
+    layout must keep mv/rmv/mv_pair exact — this is the shape that OOM'd
+    VMEM on hardware before the slab split (uniform 5% density -> every
+    tile occupied -> S = ncb)."""
+    from fos_tpu.linalg.sparse_ell import BandedBlockOp
+
+    A = sp.random(2048, 2048, density=0.03,
+                  random_state=np.random.RandomState(31), format="csr")
+    A = A.astype(np.float32)
+    op = BandedBlockOp.create(A)
+    assert op.blocks.shape[1] % 8 == 0 and op.blocks.shape[1] > 8
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(2048).astype(np.float32)
+    z = rng.standard_normal(2048).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(op.mv(jnp.asarray(x))), A @ x,
+                               rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(op.rmv(jnp.asarray(z))), A.T @ z,
+                               rtol=2e-5, atol=2e-4)
+    y1, y2 = op.mv_pair(jnp.asarray(x), jnp.asarray(z))
+    np.testing.assert_allclose(np.asarray(y1), A @ x, rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(y2), A.T @ z, rtol=2e-5, atol=2e-4)
+
+
 def test_banded_auto_selected_and_solves():
     """auto sparse_format picks the banded layout for banded matrices and
     the solve matches the densified path."""
