@@ -543,7 +543,14 @@ class BandedBlockOp:
         return cls(*children, *aux)
 
     @classmethod
-    def create(cls, A, *, bm=128, bn=128, interpret=None):
+    def create(cls, A, *, bm=128, bn=128, interpret=None,
+               transpose_table=True):
+        """``transpose_table=False`` skips packing the A' tile table:
+        ``mv_pair`` (the whole HSDE solve path) computes A'z from the A
+        table, so the transpose table only serves standalone ``rmv`` —
+        skipping it halves tile memory (and skips one of the two packs;
+        wall-clock pack savings are allocator-noise-dominated at 1e7
+        nnz)."""
         if interpret is None:
             from fos_tpu.config import is_tpu_backend
 
@@ -551,8 +558,6 @@ class BandedBlockOp:
         rows, cols, vals, m, n = _coo_parts(A)
         blocks, cs, _ = _build_band_arrays(
             m, n, rows, cols, vals.astype(np.float32), bm, bn)
-        blocks_t, cs_t, _ = _build_band_arrays(
-            n, m, cols, rows, vals.astype(np.float32), bn, bm)
 
         def pad_s(blk):
             # S > 8 streams in 8-tile slabs along the second grid axis
@@ -565,9 +570,14 @@ class BandedBlockOp:
                                    blk.dtype)], axis=1)
             return blk
 
+        blocks_t = cs_t = None
+        if transpose_table:
+            blocks_t, cs_t, _ = _build_band_arrays(
+                n, m, cols, rows, vals.astype(np.float32), bn, bm)
+            blocks_t = jnp.asarray(pad_s(blocks_t))
+            cs_t = jnp.asarray(cs_t)
         return cls(jnp.asarray(pad_s(blocks)), jnp.asarray(cs),
-                   jnp.asarray(pad_s(blocks_t)), jnp.asarray(cs_t),
-                   m, n, bm, bn, interpret)
+                   blocks_t, cs_t, m, n, bm, bn, interpret)
 
     @property
     def shape(self):
@@ -577,10 +587,16 @@ class BandedBlockOp:
     def dtype(self):
         return self.blocks.dtype
 
+    def _ncb(self) -> int:
+        """Column-block count: the A' table's row count when stored (it is
+        _pad8-padded), else derived from n."""
+        if self.blocks_t is not None:
+            return self.blocks_t.shape[0]
+        return math.ceil(self.n / self.bn)
+
     def occupancy(self) -> float:
         nrb, S = self.blocks.shape[:2]
-        ncb = self.blocks_t.shape[0]
-        return (nrb * S) / float(nrb * ncb)
+        return (nrb * S) / float(nrb * self._ncb())
 
     def _pad_x(self, x, nblocks, width, S):
         # pad to nblocks*width, then S extra zero blocks so the trailing
@@ -595,11 +611,16 @@ class BandedBlockOp:
     def _mv_args(self, x):
         """(index table, tile table, padded input) for the mv kernel —
         shared by the local path and RowShardedOp."""
-        ncb = self.blocks_t.shape[0]
         S = self.blocks.shape[1]
-        return self.cs, self.blocks, self._pad_x(x, ncb, self.bn, S)
+        return self.cs, self.blocks, self._pad_x(x, self._ncb(), self.bn, S)
 
     def _rmv_args(self, y):
+        if self.blocks_t is None:
+            raise TypeError(
+                "this BandedBlockOp was built with transpose_table=False "
+                "(no A' tile table): use mv_pair for A'z, or rebuild with "
+                "BandedBlockOp.create(A, transpose_table=True) for "
+                "standalone rmv")
         nrb = self.blocks.shape[0]
         S_t = self.blocks_t.shape[1]
         return self.cs_t, self.blocks_t, self._pad_x(y, nrb, self.bm, S_t)
@@ -620,17 +641,16 @@ class BandedBlockOp:
         shape hsde_ops.q_mul consumes; measured on TPU v5e it takes the
         1e7-nnz LP from 2.36k to ~4k iters/s."""
         nrb, S = self.blocks.shape[:2]
-        ncb = self.blocks_t.shape[0]
         pad = nrb * self.bm - z.shape[0]
         zb = (jnp.pad(z, (0, pad)) if pad else z).reshape(nrb, self.bm)
-        xb = self._pad_x(x, ncb, self.bn, S)
+        xb = self._pad_x(x, self._ncb(), self.bn, S)
         y1, y2 = _band_mv_pair(self.cs, self.blocks, xb, zb,
                                interpret=self.interpret)
         return y1.reshape(-1)[: self.m], y2.reshape(-1)[: self.n]
 
     def todense(self):
         nrb, S, bm, bn = self.blocks.shape
-        ncb = self.blocks_t.shape[0]
+        ncb = self._ncb()
         dense = jnp.zeros((nrb * bm, (ncb + S) * bn), jnp.float32)
         for i in range(nrb):
             for k in range(S):
@@ -676,8 +696,13 @@ class BlockedEllOp:
 
     # ------------------------------------------------------------------
     @classmethod
-    def create(cls, A, *, bm=128, bn=128, interpret=None):
-        """Build from a scipy.sparse matrix or a jax BCOO."""
+    def create(cls, A, *, bm=128, bn=128, interpret=None,
+               transpose_table=True):
+        """Build from a scipy.sparse matrix or a jax BCOO.
+
+        ``transpose_table=False`` skips packing the A' tile table (see
+        BandedBlockOp.create): ``mv_pair`` serves A'z from the A table;
+        only standalone ``rmv`` needs the transpose table."""
         if interpret is None:
             # Mosaic compiles only on TPU: interpret everywhere else
             from fos_tpu.config import is_tpu_backend
@@ -686,11 +711,14 @@ class BlockedEllOp:
         rows, cols, vals, m, n = _coo_parts(A)
         blocks, cols_tab, _ = _build_ell_arrays(
             m, n, rows, cols, vals.astype(np.float32), bm, bn)
-        blocks_t, cols_t_tab, _ = _build_ell_arrays(
-            n, m, cols, rows, vals.astype(np.float32), bn, bm)
+        blocks_t = cols_t_tab = None
+        if transpose_table:
+            blocks_t, cols_t_tab, _ = _build_ell_arrays(
+                n, m, cols, rows, vals.astype(np.float32), bn, bm)
+            blocks_t = jnp.asarray(blocks_t)
+            cols_t_tab = jnp.asarray(cols_t_tab)
         return cls(jnp.asarray(blocks), jnp.asarray(cols_tab),
-                   jnp.asarray(blocks_t), jnp.asarray(cols_t_tab),
-                   m, n, bm, bn, interpret)
+                   blocks_t, cols_t_tab, m, n, bm, bn, interpret)
 
     @property
     def shape(self):
@@ -700,12 +728,16 @@ class BlockedEllOp:
     def dtype(self):
         return self.blocks.dtype
 
+    def _ncb(self) -> int:
+        if self.blocks_t is not None:
+            return self.blocks_t.shape[0]
+        return math.ceil(self.n / self.bn)
+
     def occupancy(self) -> float:
         """Stored-tile fraction of the dense tile grid (storage and HBM
         traffic relative to a dense matvec; padding slots included)."""
         nrb, kmax = self.cols.shape
-        ncb = self.blocks_t.shape[0]
-        return (nrb * kmax) / float(nrb * ncb)
+        return (nrb * kmax) / float(nrb * self._ncb())
 
     def _pad(self, x, blocks_of, width):
         nb = blocks_of
@@ -719,10 +751,15 @@ class BlockedEllOp:
     def _mv_args(self, x):
         """(index table, tile table, padded input) for the mv kernel —
         shared by the local path and RowShardedOp."""
-        ncb = self.blocks_t.shape[0]
-        return self.cols, self.blocks, self._pad(x, ncb, self.bn)
+        return self.cols, self.blocks, self._pad(x, self._ncb(), self.bn)
 
     def _rmv_args(self, y):
+        if self.blocks_t is None:
+            raise TypeError(
+                "this BlockedEllOp was built with transpose_table=False "
+                "(no A' tile table): use mv_pair for A'z, or rebuild with "
+                "BlockedEllOp.create(A, transpose_table=True) for "
+                "standalone rmv")
         nrb = self.blocks.shape[0]
         return self.cols_t, self.blocks_t, self._pad(y, nrb, self.bm)
 
@@ -747,7 +784,7 @@ class BlockedEllOp:
 
     def todense(self):
         nrb, kmax, bm, bn = self.blocks.shape
-        ncb = self.blocks_t.shape[0]
+        ncb = self._ncb()
         dense = jnp.zeros((nrb * bm, ncb * bn), jnp.float32)
         # scatter tiles (build-time utility; not a hot path)
         for i in range(nrb):
@@ -841,6 +878,7 @@ class RowShardedOp:
             jax.device_put(pad0(x),
                            NamedSharding(mesh, P(axes,
                                                  *([None] * (x.ndim - 1)))))
+            if x is not None else None   # transpose_table=False ops
             for x in ch)
         return cls(type(op).tree_unflatten(aux, placed), mesh, axes)
 

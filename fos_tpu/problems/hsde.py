@@ -169,10 +169,15 @@ class HSDEForm:
                                                        band_span_ratio,
                                                        bell_storage_ratio)
 
+                # transpose_table=False: the whole HSDE path (q_mul,
+                # hsde_normal_mul, the residual check) consumes the fused
+                # (A@x, A'@z) pair kernels, which stream A'z from the A
+                # table — skipping the A' pack halves tile memory
+                # (standalone op.rmv raises a pointer to the flag)
                 if sparse_format == "band":
                     # contiguous-window layout (one x slice per row block
                     # instead of the ELL per-tile gather)
-                    A = BandedBlockOp.create(A)
+                    A = BandedBlockOp.create(A, transpose_table=False)
                 # auto picks the tile path only where Mosaic compiles
                 # (TPU) or interprets for tests (CPU); other backends
                 # (XLA:GPU) keep BCOO unless forced
@@ -186,9 +191,9 @@ class HSDEForm:
                         # 817 GB/s vs ELL's 661 at a 48 MiB table
                         # (tools/launch_probe.py, RTT-cancelled timing),
                         # and both are bit-equal to the scipy oracle
-                        A = BandedBlockOp.create(A)
+                        A = BandedBlockOp.create(A, transpose_table=False)
                     else:
-                        A = BlockedEllOp.create(A)
+                        A = BlockedEllOp.create(A, transpose_table=False)
             elif sparse_format in ("bell", "band"):
                 raise ValueError(
                     f"sparse_format={sparse_format!r} requires f32 problem "
