@@ -26,9 +26,25 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+import numpy as _np
+
 from fos_tpu.linalg import hsde_ops
 from fos_tpu.linalg.cg import (CGState, conjugate_gradient,
                                conjugate_gradient_pipelined, decreasing_tolerance)
+
+
+def _default_floor(size: int, dtype) -> float:
+    """CG absolute-tolerance floor: the reference's ``size*eps``
+    (affinepluslinear.jl:108).  At f32 and large size this is ~1e-3
+    ABSOLUTE — loose enough to stall accuracy-limited problems (the
+    batched lambda-min SDP sits at d~1e-3 forever; sqrt(size)*eps
+    converges it in the same 500 iterations as f64, measured round 4) —
+    but a blanket-tight default costs 2.5-3.5x throughput on easy LPs
+    (more CG iterations per outer step from ~iteration 50 on).  So the
+    default stays loose and the engines' on-device stall recovery
+    tightens it per problem when residual progress plateaus before
+    convergence (HSDEForm.progress_stalled*)."""
+    return size * float(jnp.finfo(dtype).eps)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -130,13 +146,22 @@ class HSDEAffineProjector:
             # rhs = u0 + Q' v0 = u0 - Q v0 (skew-symmetry)
             rhs = u0 - hsde_ops.q_mul(self.A, self.b, self.c, v0)
             warm = jnp.where(cg.initialized, cg.warm, u0)
-            # reference floor: size(KKT,2)*eps = 2l*eps (affinepluslinear.jl:108).
-            # Overridable: 2l*eps(f32) is coarse for large l on the TPU path;
-            # a traced cg.floor (fused-path stall recovery) takes precedence.
+            # reference floor: size(KKT,2)*eps = 2l*eps
+            # (affinepluslinear.jl:108) — an f64 formula.  At f32 and
+            # large l it is ~1e-3 ABSOLUTE, which caps the S1 projection
+            # accuracy and stalls whole problem classes: the batched
+            # lambda-min SDP (l=4162) sits at d~1e-3 forever at the 2l*eps
+            # floor and reaches Optimal in the same 500 iterations as the
+            # f64 path at sqrt(2l)*eps (measured, round 4) — so f32
+            # defaults to the sqrt(2l)*eps formula the gap-stall recovery
+            # already trusted.  A traced cg.floor (fused-path recovery)
+            # takes precedence over both.
             if cg.floor is not None:
                 floor = cg.floor
+            elif self.tol_floor is not None:
+                floor = self.tol_floor
             else:
-                floor = self.tol_floor if self.tol_floor is not None else 2 * l * jnp.finfo(z.dtype).eps
+                floor = _default_floor(2 * l, z.dtype)  # KKT size = 2l
             if self.decreasing_accuracy:
                 tol = decreasing_tolerance(cg.call_idx, floor, z.dtype)
             else:

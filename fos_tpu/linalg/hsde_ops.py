@@ -24,23 +24,39 @@ applications that XLA maps onto the MXU for dense ``A``.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from jax.experimental import sparse as jsparse
+
+# Dense solver matvecs run at full f32 precision: TPU MXU dots default to
+# bf16 inputs (~1e-2 relative error), which caps the achievable S1-
+# projection accuracy and measurably stalls dual-residual convergence on
+# SDPs (round 4; see PERF.md).  Matvecs are HBM-bound, so the precision
+# upgrade costs ~nothing on the wall clock.
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _dense_mv(A, x):
+    return jnp.matmul(A, x, precision=_PREC)
 
 
 def mv(A, x):
     """A @ x for dense, BCOO, or PaddedDenseOp A."""
     if hasattr(A, "mv"):
         return A.mv(x)
-    return A @ x
+    if isinstance(A, jsparse.BCOO):
+        return A @ x
+    return _dense_mv(A, x)
 
 
 def rmv(A, y):
     """A' @ y for dense, BCOO, or PaddedDenseOp A."""
     if hasattr(A, "rmv"):
         return A.rmv(y)
-    return A.T @ y
+    if isinstance(A, jsparse.BCOO):
+        return A.T @ y
+    return _dense_mv(A.T, y)
 
 
 def mv_pair(A, x1, x2):
@@ -52,7 +68,9 @@ def mv_pair(A, x1, x2):
         return A.mv_pair(x1, x2)
     if hasattr(A, "mv"):  # operator without a fused pair
         return A.mv(x1), A.rmv(x2)
-    return A @ x1, A.T @ x2
+    if isinstance(A, jsparse.BCOO):
+        return A @ x1, A.T @ x2
+    return _dense_mv(A, x1), _dense_mv(A.T, x2)
 
 
 def q_mul(A, b, c, z):

@@ -376,6 +376,48 @@ class HSDEForm:
                 & (chk.d <= eps * (1.0 + self.norm_c))
                 & (chk.g > eps * gden))
 
+    def stall_score(self, chk: HSDECheck, eps: float):
+        """Traced scalar "distance from passing": max over the three
+        optimality tests of residual/threshold — 1.0 means exactly at the
+        eps operating point.  Used by the plateau-based stall recovery
+        (progress_stalled*): a run whose score stops improving check to
+        check while > 1 is being held back by the CG tolerance floor
+        (measured round 4: the batched lambda-min SDP plateaus at
+        score~100 under the reference's loose 2l*eps floor and converges
+        like f64 once tightened)."""
+        tau = chk.tau
+        safe_tau = jnp.where(tau > 0, tau, 1.0)
+        ctx = chk.ctx / safe_tau
+        bty = chk.bty / safe_tau
+        gden = 1.0 + jnp.abs(ctx) + jnp.abs(bty)
+        return jnp.maximum(
+            chk.p / (eps * (1.0 + self.norm_b)),
+            jnp.maximum(chk.d / (eps * (1.0 + self.norm_c)),
+                        chk.g / (eps * gden)))
+
+    def progress_stalled_traced(self, chk: HSDECheck, eps: float,
+                                prev_score):
+        """(stalled, score): jit-safe plateau test for the fused engine —
+        still Continue AND the score improved by less than 1.5x since the
+        previous check.  Healthy DR runs improve ~2.5-10x per 100-iteration
+        check interval; a floor-limited run flatlines.  OR'd with the
+        gap-only signature (which can fire while still improving)."""
+        score = self.stall_score(chk, eps)
+        plateau = ((chk.status == Status.CONTINUE)
+                   & (score > 1.0)
+                   & (score > prev_score / 1.5))
+        return plateau | self.gap_stalled_traced(chk, eps), score
+
+    def progress_stalled(self, chk: HSDECheck, eps: float,
+                         prev_score: float):
+        """Host twin of :meth:`progress_stalled_traced` for the chunked
+        engine.  Returns (stalled, score)."""
+        score = float(self.stall_score(chk, eps))
+        if int(chk.status) != Status.CONTINUE:
+            return False, score
+        plateau = score > 1.0 and score > prev_score / 1.5
+        return plateau or self.gap_stalled(chk, eps), score
+
     def fused_cg_floors(self):
         """(default_floor, tightened_floor) Python floats for the fused
         engine's on-device recovery, or None when recovery does not apply
@@ -386,9 +428,12 @@ class HSDEForm:
             return None
         import numpy as _np
 
+        from fos_tpu.linalg.affine import _default_floor
+
         eps_dt = float(jnp.finfo(self.dtype).eps)
         tight = float(_np.sqrt(2.0 * self.l)) * eps_dt
-        cur = s1.tol_floor if s1.tol_floor is not None else 2 * self.l * eps_dt
+        cur = (s1.tol_floor if s1.tol_floor is not None
+               else _default_floor(2 * self.l, self.dtype))
         if cur <= tight:
             return None
         return float(cur), tight
@@ -403,9 +448,12 @@ class HSDEForm:
             return None
         import numpy as _np
 
+        from fos_tpu.linalg.affine import _default_floor
+
         eps_dt = float(jnp.finfo(self.dtype).eps)
         new_floor = float(_np.sqrt(2.0 * self.l)) * eps_dt
-        cur = s1.tol_floor if s1.tol_floor is not None else 2 * self.l * eps_dt
+        cur = (s1.tol_floor if s1.tol_floor is not None
+               else _default_floor(2 * self.l, self.dtype))
         if cur <= new_floor:
             return None
         s1b = HSDEAffineProjector(

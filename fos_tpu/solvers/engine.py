@@ -171,7 +171,9 @@ def fused_solve(alg, form, x0, *, max_iters: int = 10000, eps: float = 1e-5,
     def body(_, s):
         return alg.step(form.sets, s)
 
-    def run_chunk(st, status, k, hist, stall, nsteps):
+    plateau = recovery and hasattr(form, "progress_stalled_traced")
+
+    def run_chunk(st, status, k, hist, stall, score_prev, nsteps):
         """One nsteps-iteration chunk + check, masked by the freeze flag."""
         st_new = jax.lax.fori_loop(0, nsteps, body, st, unroll=unroll)
         chk = form.check(st_new.z_check, eps, prev=st_new.z_check_prev)
@@ -184,34 +186,45 @@ def fused_solve(alg, form, x0, *, max_iters: int = 10000, eps: float = 1e-5,
             lambda new, old: jnp.where(cont, new, old), st_new, st)
         status = jnp.where(cont, chk.status, status)
         if recovery:
-            stalled = cont & form.gap_stalled_traced(chk, eps)
+            if plateau:
+                # generalized signature (round 4): residual progress
+                # plateaued before convergence — catches d-stalls (the
+                # batched SDP) as well as the original gap-only case
+                stalled_now, score = form.progress_stalled_traced(
+                    chk, eps, score_prev)
+                score_prev = jnp.where(cont, score, score_prev)
+            else:
+                stalled_now = form.gap_stalled_traced(chk, eps)
+            stalled = cont & stalled_now
             stall = jnp.where(stalled, stall + 1,
                               jnp.zeros_like(stall))
             cur = st.s1_state.floor
             newf = jnp.where((stall >= 3) & (cur > tight_floor),
                              jnp.asarray(tight_floor, cur.dtype), cur)
             st = st._replace(s1_state=st.s1_state._replace(floor=newf))
-        return st, status, hist, stall
+        return st, status, hist, stall, score_prev
 
     def chunk_body(carry):
-        st, status, k, hist, stall = carry
-        st, status, hist, stall = run_chunk(st, status, k, hist, stall, checki)
-        return st, status, k + 1, hist, stall
+        st, status, k, hist, stall, score_prev = carry
+        st, status, hist, stall, score_prev = run_chunk(
+            st, status, k, hist, stall, score_prev, checki)
+        return st, status, k + 1, hist, stall, score_prev
 
     def chunk_cond(carry):
-        _, status, k, _, _ = carry
+        _, status, k, _, _, _ = carry
         return (status == Status.CONTINUE) & (k < nchunks)
 
-    st, status, k, hist, stall = jax.lax.while_loop(
+    st, status, k, hist, stall, score_prev = jax.lax.while_loop(
         chunk_cond, chunk_body,
         (st0, jnp.asarray(Status.CONTINUE, jnp.int32),
-         jnp.asarray(0, jnp.int32), hist0, jnp.asarray(0, jnp.int32)),
+         jnp.asarray(0, jnp.int32), hist0, jnp.asarray(0, jnp.int32),
+         jnp.asarray(jnp.inf, x0.dtype)),
     )
     if rem:
         # exact budget: the trailing max_iters % checki iterations (masked
         # out per-instance if already terminated)
-        st, status, hist, stall = run_chunk(st, status, nchunks, hist, stall,
-                                            rem)
+        st, status, hist, stall, score_prev = run_chunk(
+            st, status, nchunks, hist, stall, score_prev, rem)
     guess, st = alg.getsol(form.sets, st)
     chk = form.check(guess, eps, prev=st.z_check)
     status = jnp.where(status == Status.CONTINUE, chk.status, status)
@@ -278,11 +291,13 @@ def run(form, alg, *, initx=None, init_duration: float = 0.0,
     # logextra parity: feasibility-form runs at debug>0 record the S1-stage
     # snapshot triple at every check iteration (FeasibilityStatus.jl:19-25)
     log_extra = debug > 0 and getattr(form, "wants_extra", False)
-    # gap-stall recovery: consecutive checks where p/d pass but the gap
-    # doesn't indicate the CG floor is biasing the fixed point — tighten it
-    # once and continue (HSDEForm.gap_stalled/tighten_cg)
+    # stall recovery: consecutive checks where residual progress plateaus
+    # before convergence (or the original p/d-pass-gap-fail signature)
+    # indicate the CG floor is biasing the fixed point — tighten it once
+    # and continue (HSDEForm.progress_stalled/tighten_cg)
     stall_count = 0
     tightened = False
+    prev_score = float("inf")
     nchunks, rem = divmod(max_iters, checki)
     for _ in range(nchunks):
         if log_extra:
@@ -295,17 +310,21 @@ def run(form, alg, *, initx=None, init_duration: float = 0.0,
         checked = True
         status_code = int(chk.status)
         if (not tightened and status_code == Status.CONTINUE
-                and hasattr(form, "gap_stalled")
-                and form.gap_stalled(chk, eps)):
-            stall_count += 1
-            if stall_count >= 3:
-                new_form = form.tighten_cg()
-                tightened = True
-                if new_form is not None:
-                    form = new_form
-                    if verbose > 0:
-                        print(f"Gap stalled at i={i}: tightening CG "
-                              f"tolerance floor")
+                and hasattr(form, "progress_stalled")):
+            stalled_now, prev_score = form.progress_stalled(chk, eps,
+                                                            prev_score)
+            if stalled_now:
+                stall_count += 1
+                if stall_count >= 3:
+                    new_form = form.tighten_cg()
+                    tightened = True
+                    if new_form is not None:
+                        form = new_form
+                        if verbose > 0:
+                            print(f"Residual progress stalled at i={i}: "
+                                  f"tightening CG tolerance floor")
+            else:
+                stall_count = 0
         else:
             stall_count = 0
         t_elapsed = time.time() - t_init

@@ -106,3 +106,35 @@ def test_max_entropy_exp_cone():
     np.testing.assert_allclose(x, 1.0 / k, atol=1e-4)
     t = np.asarray(sol.x[:k])
     np.testing.assert_allclose(t, np.log(1.0 / k), atol=1e-4)
+
+
+def test_lambda_min_sdp_f32_converges_via_stall_recovery():
+    """Round-4 regression: min tr(CX), tr(X)=1, X >> 0 in f32 stalled
+    FOREVER at d~1e-3 under the reference's 2l*eps CG floor (an f64
+    formula; f64 converges in ~500 iterations).  The plateau-based stall
+    recovery must tighten the floor on device and converge to the
+    lambda_min(C) optimum with default options."""
+    import jax
+    from fos_tpu.cones import free as _free
+    from fos_tpu.parallel.batched import build_batched_form, solve_batched
+
+    Bs, d = 2, 32
+    L = d * (d + 1) // 2
+    kc = jax.random.PRNGKey(29)
+    Cb = jax.random.normal(kc, (Bs, d, d), jnp.float32) / float(np.sqrt(d))
+    Cb = (Cb + jnp.swapaxes(Cb, -1, -2)) / 2
+    sC = jax.vmap(lambda Ci: svec(Ci, scaled=True))(Cb)
+    sI = svec(jnp.eye(d, dtype=jnp.float32), scaled=True)
+    A_base = jnp.concatenate([sI[None, :], -jnp.eye(L, dtype=jnp.float32)], axis=0)
+    A_sdp = jnp.broadcast_to(A_base, (Bs, 1 + L, L))
+    b_sdp = jnp.zeros((Bs, 1 + L), jnp.float32).at[:, 0].set(1.0)
+    K1 = ConeSpec(((Cone.ZERO, 1), (Cone.PSD, L)))
+    form = build_batched_form(A_sdp, b_sdp, sC, K1, _free(L))
+    r = solve_batched(DR(), form, max_iters=4000, eps=1e-5, checki=100)
+    assert (np.asarray(r.status) == 1).all(), np.asarray(r.status)
+    lam = np.linalg.eigvalsh(np.asarray(Cb, np.float64))[:, 0]
+    lsdp = (1 + L) + L + 1
+    obj = (np.asarray(jnp.einsum("bl,bl->b", sC, r.guess[:, :L]))
+           / np.asarray(r.guess[:, lsdp - 1]))
+    err = np.max(np.abs(obj - lam) / (1 + np.abs(lam)))
+    assert err < 5e-4, err
