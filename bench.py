@@ -393,8 +393,10 @@ def tpu_bench():
         # block_until_ready is not a reliable sync on the axon tunnel —
         # fetch a scalar; timing is differential (see diff_iters_per_s).
         def make_run(n):
+            # unroll=16 measured best on this chip (49.1k vs 42.2k at 8,
+            # 47.2k at 32 — r4 sweep)
             return jax.jit(lambda f, x, eps: fused_solve(
-                alg, f, x, max_iters=n, eps=eps, checki=CHECKI, unroll=8))
+                alg, f, x, max_iters=n, eps=eps, checki=CHECKI, unroll=16))
 
         run = make_run(BENCH_ITERS)
         res = run(form, x0, 0.0)

@@ -140,8 +140,8 @@ class HSDEAffineProjector:
         v0 = z[l:]
         if self.direct:
             u = self.fac.T @ z  # = R^{-1} Q_f' z (QR least squares)
-            new_cg = CGState(cg.warm, cg.initialized, cg.call_idx + 1,
-                             jnp.asarray(0, jnp.int32), cg.floor)
+            new_cg = cg._replace(call_idx=cg.call_idx + 1,
+                                 last_iters=jnp.asarray(0, jnp.int32))
         else:
             # rhs = u0 + Q' v0 = u0 - Q v0 (skew-symmetry)
             rhs = u0 - hsde_ops.q_mul(self.A, self.b, self.c, v0)
@@ -178,8 +178,9 @@ class HSDEAffineProjector:
                     unroll=self.cg_unroll, compensated=self.compensated,
                 )
             u = res.x
-            new_cg = CGState(u, jnp.asarray(True), cg.call_idx + 1, res.iters,
-                             cg.floor)
+            new_cg = cg._replace(warm=u, initialized=jnp.asarray(True),
+                                 call_idx=cg.call_idx + 1,
+                                 last_iters=res.iters)
         v = hsde_ops.q_mul(self.A, self.b, self.c, u)
         return jnp.concatenate([u, v]), new_cg
 
@@ -263,8 +264,8 @@ class AffinePlusLinearProjector:
         if self.direct:
             zls = jnp.concatenate([x1 - self.q, -(self.beta * x2 + self.b)])
             lam = self.fac.T @ zls  # = R^{-1} Q_f' zls (QR least squares)
-            new_cg = CGState(cg.warm, cg.initialized, cg.call_idx + 1,
-                             jnp.asarray(0, jnp.int32), cg.floor)
+            new_cg = cg._replace(call_idx=cg.call_idx + 1,
+                                 last_iters=jnp.asarray(0, jnp.int32))
         else:
             rhs = hsde_ops.mv(self.A, x1 - self.q) - self.beta * x2 - self.b
             warm = jnp.where(cg.initialized, cg.warm, jnp.zeros_like(rhs))
@@ -278,8 +279,9 @@ class AffinePlusLinearProjector:
                 rhs, warm, tol=tol, max_iters=self.cg_max_iters,
             )
             lam = res.x
-            new_cg = CGState(lam, jnp.asarray(True), cg.call_idx + 1, res.iters,
-                             cg.floor)
+            new_cg = cg._replace(warm=lam, initialized=jnp.asarray(True),
+                                 call_idx=cg.call_idx + 1,
+                                 last_iters=res.iters)
         y1 = x1 - self.q - hsde_ops.rmv(self.A, lam)
         y2 = x2 + self.beta * lam
         return jnp.concatenate([y1, y2]), new_cg

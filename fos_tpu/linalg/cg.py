@@ -46,6 +46,10 @@ class CGState(NamedTuple):
     #: recovery tightens it on device mid-solve); None -> the projector's
     #: static tol_floor applies
     floor: Any = None
+    #: optional TRACED plateau-recovery baseline (the stall score one
+    #: window ago) — lives here, like ``floor``, so it survives segmented
+    #: fused solves (resume_state carries the whole CGState)
+    win_score: Any = None
 
     @staticmethod
     def create(size: int, dtype) -> "CGState":

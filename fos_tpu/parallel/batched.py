@@ -69,10 +69,11 @@ def build_batched_form(A, b, c, K1: ConeSpec, K2: ConeSpec, *, direct=False,
 
 
 @functools.partial(jax.jit, static_argnames=("alg", "max_iters", "eps", "checki",
-                                             "record_history", "unroll"))
+                                             "record_history", "unroll",
+                                             "budget_iters"))
 def _solve_batched_once(alg, form: HSDEForm, *, max_iters, eps, checki,
                         record_history, unroll, initx,
-                        resume_state=None) -> FusedResult:
+                        resume_state=None, budget_iters=None) -> FusedResult:
     B = form.b.shape[0]
     l = form.n + form.m + 1
     if initx is not None:
@@ -92,14 +93,14 @@ def _solve_batched_once(alg, form: HSDEForm, *, max_iters, eps, checki,
             return fused_solve(alg, form_i, x0_i, max_iters=max_iters,
                                eps=eps, checki=checki,
                                record_history=record_history, unroll=unroll,
-                               resume_state=st_i)
+                               resume_state=st_i, budget_iters=budget_iters)
 
         return jax.vmap(one)(form, x0, resume_state)
 
     def one0(form_i, x0_i):
         return fused_solve(alg, form_i, x0_i, max_iters=max_iters, eps=eps,
                            checki=checki, record_history=record_history,
-                           unroll=unroll)
+                           unroll=unroll, budget_iters=budget_iters)
 
     return jax.vmap(one0)(form, x0)
 
@@ -143,7 +144,8 @@ def solve_batched(alg, form: HSDEForm, *, max_iters: int = 10000,
                                   checki=checki,
                                   record_history=record_history,
                                   unroll=unroll, initx=initx,
-                                  resume_state=state)
+                                  resume_state=state,
+                                  budget_iters=max_iters)
         if record_history:
             hists.append(res.hist)
         if merged is None:

@@ -395,28 +395,51 @@ class HSDEForm:
             jnp.maximum(chk.d / (eps * (1.0 + self.norm_c)),
                         chk.g / (eps * gden)))
 
-    def progress_stalled_traced(self, chk: HSDECheck, eps: float,
-                                prev_score):
-        """(stalled, score): jit-safe plateau test for the fused engine —
-        still Continue AND the score improved by less than 1.5x since the
-        previous check.  Healthy DR runs improve ~2.5-10x per 100-iteration
-        check interval; a floor-limited run flatlines.  OR'd with the
-        gap-only signature (which can fire while still improving)."""
-        score = self.stall_score(chk, eps)
-        plateau = ((chk.status == Status.CONTINUE)
-                   & (score > 1.0)
-                   & (score > prev_score / 1.5))
-        return plateau | self.gap_stalled_traced(chk, eps), score
+    #: plateau window: the convergence-rate test compares the stall score
+    #: across this many checks
+    STALL_WINDOW = 10
 
-    def progress_stalled(self, chk: HSDECheck, eps: float,
-                         prev_score: float):
-        """Host twin of :meth:`progress_stalled_traced` for the chunked
-        engine.  Returns (stalled, score)."""
+    def plateau_stalled_traced(self, chk: HSDECheck, eps: float, win_score,
+                               remaining_checks):
+        """(stalled, score): budget-aware plateau test for the fused
+        engine, evaluated once per STALL_WINDOW checks.  ``win_score`` is
+        the score one window ago; fire when the measured per-window
+        improvement rate cannot reach score <= 1 within
+        ``remaining_checks``:
+
+            log(score) * W  >  log(rate) * remaining_checks
+
+        This separates the two cases the simpler criteria conflated
+        (round 4): a floor-limited SDP (score ~100, rate ~1.0-1.1/window
+        -> needs 5-50x the remaining budget -> fire) vs a slow but
+        converging refine sweep (score ~2000 but rate ~1.35/window with a
+        large budget -> no fire, it makes it)."""
+        score = self.stall_score(chk, eps)
+        W = float(self.STALL_WINDOW)
+        rate = jnp.maximum(win_score / jnp.maximum(score, 1e-30), 1.0 + 1e-6)
+        cannot = (jnp.log(jnp.maximum(score, 1.0)) * W
+                  > jnp.log(rate) * remaining_checks)
+        stalled = ((chk.status == Status.CONTINUE)
+                   & jnp.isfinite(score)          # eps=0 probes: score=inf
+                   & jnp.isfinite(win_score)      # first window: baseline
+                   & (score > 1.0)
+                   & cannot)
+        return stalled, score
+
+    def plateau_stalled(self, chk: HSDECheck, eps: float, win_score: float,
+                        remaining_checks: int):
+        """Host twin of :meth:`plateau_stalled_traced` for the chunked
+        engine."""
+        import math as _math
+
         score = float(self.stall_score(chk, eps))
-        if int(chk.status) != Status.CONTINUE:
+        if (int(chk.status) != Status.CONTINUE or not _math.isfinite(score)
+                or not _math.isfinite(win_score) or score <= 1.0):
             return False, score
-        plateau = score > 1.0 and score > prev_score / 1.5
-        return plateau or self.gap_stalled(chk, eps), score
+        rate = max(win_score / max(score, 1e-30), 1.0 + 1e-6)
+        cannot = (_math.log(max(score, 1.0)) * self.STALL_WINDOW
+                  > _math.log(rate) * remaining_checks)
+        return cannot, score
 
     def fused_cg_floors(self):
         """(default_floor, tightened_floor) Python floats for the fused

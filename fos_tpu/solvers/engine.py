@@ -113,7 +113,8 @@ class FusedResult(NamedTuple):
 
 def fused_solve(alg, form, x0, *, max_iters: int = 10000, eps: float = 1e-5,
                 checki: int = 100, record_history: bool = False,
-                unroll: int = 1, resume_state: SolverState = None) -> FusedResult:
+                unroll: int = 1, resume_state: SolverState = None,
+                budget_iters: int = None) -> FusedResult:
     """Entire solve as one ``lax.while_loop`` over check-interval chunks —
     zero host synchronization, suitable for ``vmap`` over problem batches and
     ``pjit``/sharding over a device mesh.
@@ -163,7 +164,19 @@ def fused_solve(alg, form, x0, *, max_iters: int = 10000, eps: float = 1e-5,
         if recovery:
             default_floor, tight_floor = floors
             st0 = st0._replace(s1_state=st0.s1_state._replace(
-                floor=jnp.asarray(default_floor, x0.dtype)))
+                floor=jnp.asarray(default_floor, x0.dtype),
+                win_score=jnp.asarray(jnp.inf, x0.dtype)))
+    # total budget for the plateau recovery's "can it still converge at
+    # this rate" test: for a resumed segment the OVERALL budget (pass it
+    # via budget_iters, e.g. solve_batched(segment_iters=) does); default
+    # = this call's own horizon
+    if budget_iters is None:
+        budget_iters = max_iters
+        if resume_state is not None:
+            try:  # concrete resume: extend by the iterations already done
+                budget_iters = max_iters + int(resume_state.i)
+            except (jax.errors.ConcretizationTypeError, TypeError):
+                pass  # traced resume (vmap): pass budget_iters explicitly
     chk0 = form.check(st0.z_check, eps, prev=st0.z_check_prev)
     nhist = len(tuple(chk0))
     hist0 = jnp.zeros((total_chunks, nhist), x0.dtype) if record_history else jnp.zeros((0, 0), x0.dtype)
@@ -171,9 +184,11 @@ def fused_solve(alg, form, x0, *, max_iters: int = 10000, eps: float = 1e-5,
     def body(_, s):
         return alg.step(form.sets, s)
 
-    plateau = recovery and hasattr(form, "progress_stalled_traced")
+    plateau = (recovery and hasattr(form, "plateau_stalled_traced")
+               and getattr(st0.s1_state, "win_score", None) is not None)
+    W = getattr(form, "STALL_WINDOW", 10)
 
-    def run_chunk(st, status, k, hist, stall, score_prev, nsteps):
+    def run_chunk(st, status, k, hist, stall, nsteps):
         """One nsteps-iteration chunk + check, masked by the freeze flag."""
         st_new = jax.lax.fori_loop(0, nsteps, body, st, unroll=unroll)
         chk = form.check(st_new.z_check, eps, prev=st_new.z_check_prev)
@@ -186,45 +201,56 @@ def fused_solve(alg, form, x0, *, max_iters: int = 10000, eps: float = 1e-5,
             lambda new, old: jnp.where(cont, new, old), st_new, st)
         status = jnp.where(cont, chk.status, status)
         if recovery:
+            # original gap-only signature: 3 consecutive checks
+            gap_now = cont & form.gap_stalled_traced(chk, eps)
+            stall = jnp.where(gap_now, stall + 1, jnp.zeros_like(stall))
+            fire = stall >= 3
             if plateau:
-                # generalized signature (round 4): residual progress
-                # plateaued before convergence — catches d-stalls (the
-                # batched SDP) as well as the original gap-only case
-                stalled_now, score = form.progress_stalled_traced(
-                    chk, eps, score_prev)
-                score_prev = jnp.where(cont, score, score_prev)
-            else:
-                stalled_now = form.gap_stalled_traced(chk, eps)
-            stalled = cont & stalled_now
-            stall = jnp.where(stalled, stall + 1,
-                              jnp.zeros_like(stall))
+                # budget-aware plateau (round 4): once per W checks, fire
+                # when the measured improvement rate cannot reach the
+                # operating point within the remaining budget — catches
+                # floor-limited d-stalls (the batched SDP) without
+                # derailing slow-but-converging runs.  Anchored on the
+                # TRUE iteration counter st.i and the state-carried
+                # baseline so segmented solves (resume_state) keep the
+                # window across segments.
+                ck = (st.i // checki).astype(jnp.int32)
+                at_win = (ck % W) == 0
+                remaining = jnp.maximum(
+                    jnp.asarray(budget_iters, jnp.int32) // checki - ck, 1)
+                p_stalled, score = form.plateau_stalled_traced(
+                    chk, eps, st.s1_state.win_score, remaining)
+                fire = fire | (cont & at_win & p_stalled)
+                new_win = jnp.where(cont & at_win, score,
+                                    st.s1_state.win_score)
+                st = st._replace(
+                    s1_state=st.s1_state._replace(win_score=new_win))
             cur = st.s1_state.floor
-            newf = jnp.where((stall >= 3) & (cur > tight_floor),
+            newf = jnp.where(fire & (cur > tight_floor),
                              jnp.asarray(tight_floor, cur.dtype), cur)
             st = st._replace(s1_state=st.s1_state._replace(floor=newf))
-        return st, status, hist, stall, score_prev
+        return st, status, hist, stall
 
     def chunk_body(carry):
-        st, status, k, hist, stall, score_prev = carry
-        st, status, hist, stall, score_prev = run_chunk(
-            st, status, k, hist, stall, score_prev, checki)
-        return st, status, k + 1, hist, stall, score_prev
+        st, status, k, hist, stall = carry
+        st, status, hist, stall = run_chunk(st, status, k, hist, stall,
+                                            checki)
+        return st, status, k + 1, hist, stall
 
     def chunk_cond(carry):
-        _, status, k, _, _, _ = carry
+        _, status, k, _, _ = carry
         return (status == Status.CONTINUE) & (k < nchunks)
 
-    st, status, k, hist, stall, score_prev = jax.lax.while_loop(
+    st, status, k, hist, stall = jax.lax.while_loop(
         chunk_cond, chunk_body,
         (st0, jnp.asarray(Status.CONTINUE, jnp.int32),
-         jnp.asarray(0, jnp.int32), hist0, jnp.asarray(0, jnp.int32),
-         jnp.asarray(jnp.inf, x0.dtype)),
+         jnp.asarray(0, jnp.int32), hist0, jnp.asarray(0, jnp.int32)),
     )
     if rem:
         # exact budget: the trailing max_iters % checki iterations (masked
         # out per-instance if already terminated)
-        st, status, hist, stall, score_prev = run_chunk(
-            st, status, nchunks, hist, stall, score_prev, rem)
+        st, status, hist, stall = run_chunk(st, status, nchunks, hist, stall,
+                                            rem)
     guess, st = alg.getsol(form.sets, st)
     chk = form.check(guess, eps, prev=st.z_check)
     status = jnp.where(status == Status.CONTINUE, chk.status, status)
@@ -291,13 +317,17 @@ def run(form, alg, *, initx=None, init_duration: float = 0.0,
     # logextra parity: feasibility-form runs at debug>0 record the S1-stage
     # snapshot triple at every check iteration (FeasibilityStatus.jl:19-25)
     log_extra = debug > 0 and getattr(form, "wants_extra", False)
-    # stall recovery: consecutive checks where residual progress plateaus
-    # before convergence (or the original p/d-pass-gap-fail signature)
-    # indicate the CG floor is biasing the fixed point — tighten it once
-    # and continue (HSDEForm.progress_stalled/tighten_cg)
+    # stall recovery: the CG floor is biasing the fixed point when the
+    # p/d-pass-gap-fail signature holds for 3 consecutive checks, OR when
+    # the budget-aware plateau test says the measured improvement rate
+    # cannot reach the operating point in the remaining budget (evaluated
+    # once per STALL_WINDOW checks) — tighten the floor once and continue
+    # (HSDEForm.gap_stalled/plateau_stalled/tighten_cg)
     stall_count = 0
     tightened = False
-    prev_score = float("inf")
+    win_score = float("inf")
+    ncheck = 0
+    W = getattr(form, "STALL_WINDOW", 10)
     nchunks, rem = divmod(max_iters, checki)
     for _ in range(nchunks):
         if log_extra:
@@ -309,22 +339,30 @@ def run(form, alg, *, initx=None, init_duration: float = 0.0,
         i += checki
         checked = True
         status_code = int(chk.status)
+        ncheck += 1
         if (not tightened and status_code == Status.CONTINUE
-                and hasattr(form, "progress_stalled")):
-            stalled_now, prev_score = form.progress_stalled(chk, eps,
-                                                            prev_score)
-            if stalled_now:
+                and hasattr(form, "gap_stalled")):
+            fire = False
+            if form.gap_stalled(chk, eps):
                 stall_count += 1
-                if stall_count >= 3:
-                    new_form = form.tighten_cg()
-                    tightened = True
-                    if new_form is not None:
-                        form = new_form
-                        if verbose > 0:
-                            print(f"Residual progress stalled at i={i}: "
-                                  f"tightening CG tolerance floor")
+                fire = stall_count >= 3
             else:
                 stall_count = 0
+            if (not fire and hasattr(form, "plateau_stalled")
+                    and ncheck % W == 0):
+                remaining = max((max_iters - i) // checki, 1)
+                p_stalled, score = form.plateau_stalled(chk, eps, win_score,
+                                                        remaining)
+                win_score = score
+                fire = p_stalled
+            if fire:
+                new_form = form.tighten_cg()
+                tightened = True
+                if new_form is not None:
+                    form = new_form
+                    if verbose > 0:
+                        print(f"Residual progress stalled at i={i}: "
+                              f"tightening CG tolerance floor")
         else:
             stall_count = 0
         t_elapsed = time.time() - t_init
