@@ -209,8 +209,9 @@ def sdp_batched_bench(alg=None, Bs=64, d=64, bench_iters=300,
     # hardware: the full-size batched SDP passes at 1000 fused iterations
     # and reliably crashes the worker at 4000 — r3's "SDP crash" was this
     # watchdog, not only the psd_poly f64 promotion).  segment_iters
-    # resumes the FULL solver state, so the trajectory is bit-identical
-    # to one long run (tests/test_parallel.py pins this).
+    # resumes the FULL solver state; a boundary guess-check may end an
+    # instance slightly earlier than one long run, always with a
+    # certificate passing the same eps (solve_batched docstring).
     rq = solve_batched(alg, form_sdp, max_iters=quality_iters, eps=eps,
                        checki=100, unroll=2, segment_iters=1000)
     status = np.asarray(rq.status)

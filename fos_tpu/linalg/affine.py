@@ -26,8 +26,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-import numpy as _np
-
 from fos_tpu.linalg import hsde_ops
 from fos_tpu.linalg.cg import (CGState, conjugate_gradient,
                                conjugate_gradient_pipelined, decreasing_tolerance)
@@ -43,7 +41,7 @@ def _default_floor(size: int, dtype) -> float:
     (more CG iterations per outer step from ~iteration 50 on).  So the
     default stays loose and the engines' on-device stall recovery
     tightens it per problem when residual progress plateaus before
-    convergence (HSDEForm.progress_stalled*)."""
+    convergence (HSDEForm.plateau_stalled*)."""
     return size * float(jnp.finfo(dtype).eps)
 
 
@@ -147,15 +145,13 @@ class HSDEAffineProjector:
             rhs = u0 - hsde_ops.q_mul(self.A, self.b, self.c, v0)
             warm = jnp.where(cg.initialized, cg.warm, u0)
             # reference floor: size(KKT,2)*eps = 2l*eps
-            # (affinepluslinear.jl:108) — an f64 formula.  At f32 and
-            # large l it is ~1e-3 ABSOLUTE, which caps the S1 projection
-            # accuracy and stalls whole problem classes: the batched
-            # lambda-min SDP (l=4162) sits at d~1e-3 forever at the 2l*eps
-            # floor and reaches Optimal in the same 500 iterations as the
-            # f64 path at sqrt(2l)*eps (measured, round 4) — so f32
-            # defaults to the sqrt(2l)*eps formula the gap-stall recovery
-            # already trusted.  A traced cg.floor (fused-path recovery)
-            # takes precedence over both.
+            # (affinepluslinear.jl:108) — an f64 formula that is ~1e-3
+            # ABSOLUTE at f32/large l and can stall whole problem classes
+            # (the batched lambda-min SDP, round 4).  The DEFAULT stays
+            # loose anyway (a blanket-tight floor costs 2.5-3.5x on easy
+            # LPs); the engines' budget-aware stall recovery tightens it
+            # per problem via the traced cg.floor, which takes precedence
+            # over both the default and an explicit tol_floor.
             if cg.floor is not None:
                 floor = cg.floor
             elif self.tol_floor is not None:

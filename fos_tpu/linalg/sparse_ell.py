@@ -588,11 +588,13 @@ class BandedBlockOp:
         return self.blocks.dtype
 
     def _ncb(self) -> int:
-        """Column-block count: the A' table's row count when stored (it is
-        _pad8-padded), else derived from n."""
+        """Column-block count: the A' table's row count when stored, else
+        the SAME _pad8 formula the table builder uses — both storage modes
+        must compile identical x/y2 block shapes and report identical
+        occupancy for the same matrix."""
         if self.blocks_t is not None:
             return self.blocks_t.shape[0]
-        return math.ceil(self.n / self.bn)
+        return _pad8(math.ceil(self.n / self.bn))
 
     def occupancy(self) -> float:
         nrb, S = self.blocks.shape[:2]
@@ -729,9 +731,11 @@ class BlockedEllOp:
         return self.blocks.dtype
 
     def _ncb(self) -> int:
+        # same _pad8 formula as the builder: both storage modes must agree
+        # (see BandedBlockOp._ncb)
         if self.blocks_t is not None:
             return self.blocks_t.shape[0]
-        return math.ceil(self.n / self.bn)
+        return _pad8(math.ceil(self.n / self.bn))
 
     def occupancy(self) -> float:
         """Stored-tile fraction of the dense tile grid (storage and HBM

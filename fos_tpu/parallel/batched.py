@@ -121,11 +121,20 @@ def solve_batched(alg, form: HSDEForm, *, max_iters: int = 10000,
     full-size batched SDP passes at 1000 fused iterations and crashes the
     worker at 4000), so very long batched solves should set this to
     ~1000.  Each segment resumes from the previous segment's FULL solver
-    state (``FusedResult.state``), so the trajectory — including the
-    decreasing-accuracy CG schedule and warm starts — continues exactly
-    as one long run; per-instance status is the FIRST non-Continue
-    status observed, iteration counts carry in ``state.i``, and
-    ``record_history`` chunks concatenate across segments."""
+    state (``FusedResult.state``), so the trajectory — the iterates, the
+    decreasing-accuracy CG schedule, warm starts, and the recovery state —
+    continues through segment boundaries like one long run's chunk
+    boundaries.  NOT bit-identical in general: each segment ends with the
+    engine's forced guess-check (solverwrapper.jl:32-34 semantics), which
+    can terminate an instance at a boundary where the unsegmented run had
+    no check — earlier, with a certificate that passed the same eps test
+    (at f32 this shows as stop-point differences inside the eps band; the
+    x64 regression test below observes exact equality because every
+    boundary check there agrees with the chunk schedule).  Per-instance
+    status is the FIRST non-Continue status observed, iteration counts
+    carry in ``state.i``, and ``record_history`` chunks concatenate
+    across segments (rows for instances that finished in an earlier
+    segment are zeroed)."""
     if segment_iters is None or segment_iters >= max_iters:
         return _solve_batched_once(alg, form, max_iters=max_iters, eps=eps,
                                    checki=checki,
@@ -136,6 +145,7 @@ def solve_batched(alg, form: HSDEForm, *, max_iters: int = 10000,
     done = None
     hists = []
     state = None
+    dummy_hist = None
     remaining = max_iters
     while remaining > 0:
         seg = min(segment_iters, remaining)
@@ -147,7 +157,19 @@ def solve_batched(alg, form: HSDEForm, *, max_iters: int = 10000,
                                   resume_state=state,
                                   budget_iters=max_iters)
         if record_history:
-            hists.append(res.hist)
+            # lanes already terminated before this segment re-run from
+            # frozen iterates (fused_solve has no per-lane status input);
+            # their rows are artifacts — zero them
+            h = res.hist
+            if done is not None:
+                h = jnp.where(done[:, None, None], 0.0, h)
+            hists.append(h)
+        # hist chunk counts differ when max_iters % segment_iters != 0 —
+        # keep it OUT of the elementwise merge (concatenated at the end)
+        if dummy_hist is None:
+            dummy_hist = jnp.zeros((res.hist.shape[0], 0, 0),
+                                   res.guess.dtype) if res.hist.ndim else ()
+        res = res._replace(hist=dummy_hist)
         if merged is None:
             merged = res
             done = res.status != 0

@@ -251,7 +251,11 @@ def fused_solve(alg, form, x0, *, max_iters: int = 10000, eps: float = 1e-5,
         # out per-instance if already terminated)
         st, status, hist, stall = run_chunk(st, status, nchunks, hist, stall,
                                             rem)
-    guess, st = alg.getsol(form.sets, st)
+    # NOTE: getsol runs one extra S1 projection for the solution guess; its
+    # mutated CG state (warm start overwritten, call_idx bumped) must NOT
+    # leak into FusedResult.state, or a resumed segment's first projection
+    # diverges from the unsegmented trajectory (code-review finding, r4)
+    guess, _ = alg.getsol(form.sets, st)
     chk = form.check(guess, eps, prev=st.z_check)
     status = jnp.where(status == Status.CONTINUE, chk.status, status)
     return FusedResult(guess=guess, status=status, iters=st.i, check=chk, state=st,
@@ -313,6 +317,7 @@ def run(form, alg, *, initx=None, init_duration: float = 0.0,
     # total, so history indices and Solution.iters continue where the
     # checkpoint left off (a fresh max_iters budget still applies).
     i = int(st.i) if resume_state is not None else 0
+    i_start = i  # plateau budget anchor: a fresh max_iters applies from here
     checked = False
     # logextra parity: feasibility-form runs at debug>0 record the S1-stage
     # snapshot triple at every check iteration (FeasibilityStatus.jl:19-25)
@@ -350,7 +355,10 @@ def run(form, alg, *, initx=None, init_duration: float = 0.0,
                 stall_count = 0
             if (not fire and hasattr(form, "plateau_stalled")
                     and ncheck % W == 0):
-                remaining = max((max_iters - i) // checki, 1)
+                # budget is max_iters FRESH iterations from i_start (resumed
+                # runs would otherwise see remaining=1 immediately and fire
+                # the recovery prematurely — code-review finding, r4)
+                remaining = max((i_start + max_iters - i) // checki, 1)
                 p_stalled, score = form.plateau_stalled(chk, eps, win_score,
                                                         remaining)
                 win_score = score

@@ -381,10 +381,13 @@ def test_batched_warm_start(rng):
 
 
 def test_solve_batched_segmented_identical(rng):
-    """segment_iters resumes the FULL solver state, so a segmented batched
-    solve is bit-identical to one long fused run (statuses, iteration
-    counts, iterates).  This is the crash-proof path for the axon TPU
-    worker's long-dispatch watchdog (PERF.md round 4)."""
+    """segment_iters resumes the FULL solver state: on this x64 battery
+    (where every boundary guess-check agrees with the chunk schedule) the
+    segmented solve reproduces one long fused run exactly — statuses,
+    iteration counts, iterates.  In general boundary checks may terminate
+    an instance earlier with an equally valid certificate (see the
+    solve_batched docstring).  This is the crash-proof path for the axon
+    TPU worker's long-dispatch watchdog (PERF.md round 4)."""
     from fos_tpu.parallel.batched import build_batched_form, solve_batched
 
     B, m, n = 4, 16, 24
@@ -407,6 +410,11 @@ def test_solve_batched_segmented_identical(rng):
     fh = solve_batched(DR(), form, max_iters=3000, eps=0.0, checki=100,
                        record_history=True, segment_iters=1000)
     assert fh.hist.shape[1] == 30
+    # non-divisible budget WITH history: the last segment has fewer chunks
+    # (used to crash the merge with an incompatible-shapes error)
+    fh2 = solve_batched(DR(), form, max_iters=2500, eps=0.0, checki=100,
+                        record_history=True, segment_iters=1000)
+    assert fh2.hist.shape[1] == 25
 
 
 def test_row_sharded_sparse_op(rng):

@@ -14,24 +14,12 @@ os.environ["FOS_TPU_X64"] = "1"
 import jax
 import jax.numpy as jnp
 
-from bench import _banded_bell_problem
+from bench import _banded_bell_problem, diff_iters_per_s
 from fos_tpu import DR
 from fos_tpu.cones import nonneg
 from fos_tpu.problems.conic import ConicProblem
 from fos_tpu.problems.hsde import HSDEForm
 from fos_tpu.solvers.engine import fused_solve
-
-
-def diff_time(run, form, x0, iters=300):
-    float(jnp.sum(run(form, x0, iters).guess))       # compile + warm
-    float(jnp.sum(run(form, x0, 2 * iters).guess))
-    t0 = time.perf_counter()
-    float(jnp.sum(run(form, x0, iters).guess))
-    t1 = time.perf_counter()
-    float(jnp.sum(run(form, x0, 2 * iters).guess))
-    t2 = time.perf_counter()
-    per = ((t2 - t1) - (t1 - t0)) / iters
-    return 1.0 / per
 
 
 def main():
@@ -44,12 +32,12 @@ def main():
             form = HSDEForm.build(prob, densify=False, cg_unroll=cg_unroll)
             x0 = form.initial_value(form.dtype)
             for unroll in (8, 16):
-                @functools.partial(jax.jit, static_argnames=("n",))
-                def run(f, x, n, unroll=unroll):
-                    return fused_solve(alg, f, x, max_iters=n, eps=0.0,
-                                       checki=100, unroll=unroll)
+                def make_run(n, unroll=unroll):
+                    return jax.jit(lambda f, x, eps: fused_solve(
+                        alg, f, x, max_iters=n, eps=eps, checki=100,
+                        unroll=unroll))
 
-                ips = diff_time(run, form, x0)
+                ips = diff_iters_per_s(make_run, 300, form, x0, 0.0)
                 # 2 mv+rmv table passes per iteration (~4 A-passes)
                 gbps = ips * 2 * 2 * nnz * 4 / 1e9
                 print(f"  {name} cgu={cg_unroll} unroll={unroll}: "
