@@ -62,7 +62,8 @@ def psd_project_eigh(X):
     SDPs) works too.
     """
     w, V = jnp.linalg.eigh(X)
-    return jnp.einsum("...ik,...k,...jk->...ij", V, jnp.maximum(w, 0.0), V)
+    return jnp.einsum("...ik,...k,...jk->...ij", V, jnp.maximum(w, 0.0), V,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 @psd_project_eigh.defjvp
@@ -71,7 +72,8 @@ def _psd_project_eigh_jvp(primals, tangents):
     (E,) = tangents
     w, V = jnp.linalg.eigh(X)
     f = jnp.maximum(w, 0.0)
-    Y = jnp.einsum("...ik,...k,...jk->...ij", V, f, V)
+    Y = jnp.einsum("...ik,...k,...jk->...ij", V, f, V,
+                   precision=jax.lax.Precision.HIGHEST)
 
     wi = w[..., :, None]
     wj = w[..., None, :]
@@ -84,8 +86,9 @@ def _psd_project_eigh_jvp(primals, tangents):
     num = f[..., :, None] - f[..., None, :]
     K = jnp.where(same, avg, num / jnp.where(same, 1.0, den))
 
-    Et = jnp.einsum("...ki,...kl,...lj->...ij", V, E, V)
-    dY = jnp.einsum("...ik,...kl,...jl->...ij", V, K * Et, V)
+    _hi = jax.lax.Precision.HIGHEST
+    Et = jnp.einsum("...ki,...kl,...lj->...ij", V, E, V, precision=_hi)
+    dY = jnp.einsum("...ik,...kl,...jl->...ij", V, K * Et, V, precision=_hi)
     return Y, dY
 
 

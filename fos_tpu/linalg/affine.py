@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from fos_tpu.linalg import hsde_ops
+from fos_tpu.linalg.hsde_ops import _PREC  # full-f32 matmuls (bf16 MXU default)
 from fos_tpu.linalg.cg import (CGState, conjugate_gradient,
                                conjugate_gradient_pipelined, decreasing_tolerance)
 
@@ -111,8 +112,9 @@ class HSDEAffineProjector:
             l = Qd.shape[0]
             M = jnp.concatenate([jnp.eye(l, dtype=Qd.dtype), Qd], axis=0)
             Qf, R = jnp.linalg.qr(M, mode="reduced")
-            fac = Qf @ solve_triangular(
-                R.T, jnp.eye(l, dtype=Qd.dtype), lower=True)
+            fac = jnp.matmul(
+                Qf, solve_triangular(R.T, jnp.eye(l, dtype=Qd.dtype),
+                                     lower=True), precision=_PREC)
         return cls(A, b, c, fac, direct=direct,
                    decreasing_accuracy=decreasing_accuracy,
                    cg_max_iters=cg_max_iters, tol_floor=tol_floor,
@@ -137,7 +139,10 @@ class HSDEAffineProjector:
         u0 = z[:l]
         v0 = z[l:]
         if self.direct:
-            u = self.fac.T @ z  # = R^{-1} Q_f' z (QR least squares)
+            # full f32: at the MXU's default bf16 input precision this
+            # GEMV displaces the DR fixed point enough to prevent
+            # convergence at eps=1e-5 on hard LP batches (measured, r4)
+            u = jnp.matmul(self.fac.T, z, precision=_PREC)
             new_cg = cg._replace(call_idx=cg.call_idx + 1,
                                  last_iters=jnp.asarray(0, jnp.int32))
         else:
@@ -231,8 +236,9 @@ class AffinePlusLinearProjector:
             m = Ad.shape[0]
             N = jnp.concatenate([Ad.T, jnp.eye(m, dtype=Ad.dtype)], axis=0)
             Qf, R = jnp.linalg.qr(N, mode="reduced")
-            fac = Qf @ solve_triangular(
-                R.T, jnp.eye(m, dtype=Ad.dtype), lower=True)
+            fac = jnp.matmul(Qf, solve_triangular(
+                R.T, jnp.eye(m, dtype=Ad.dtype), lower=True),
+                precision=_PREC)
         return cls(A, b, q, beta, fac, direct=direct,
                    decreasing_accuracy=decreasing_accuracy, cg_max_iters=cg_max_iters)
 
@@ -259,7 +265,7 @@ class AffinePlusLinearProjector:
         x2 = x[n:]
         if self.direct:
             zls = jnp.concatenate([x1 - self.q, -(self.beta * x2 + self.b)])
-            lam = self.fac.T @ zls  # = R^{-1} Q_f' zls (QR least squares)
+            lam = jnp.matmul(self.fac.T, zls, precision=_PREC)
             new_cg = cg._replace(call_idx=cg.call_idx + 1,
                                  last_iters=jnp.asarray(0, jnp.int32))
         else:

@@ -47,8 +47,10 @@ def build_batched_form(A, b, c, K1: ConeSpec, K2: ConeSpec, *, direct=False,
         def _qr_fac(Qi):
             Mi = jnp.concatenate([jnp.eye(l, dtype=Qi.dtype), Qi], axis=0)
             Qf, R = jnp.linalg.qr(Mi, mode="reduced")
-            return Qf @ solve_triangular(R.T, jnp.eye(l, dtype=Qi.dtype),
-                                         lower=True)
+            return jnp.matmul(
+                Qf, solve_triangular(R.T, jnp.eye(l, dtype=Qi.dtype),
+                                     lower=True),
+                precision=jax.lax.Precision.HIGHEST)
 
         fac = jax.vmap(_qr_fac)(Qd)
         s1 = HSDEAffineProjector(A, b, c, fac, direct=True,

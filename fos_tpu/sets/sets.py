@@ -66,8 +66,10 @@ class AffineSet(_StatelessSet):
             Q, R = jnp.linalg.qr(Ad.T, mode="reduced")  # A' = Q R
             from jax.scipy.linalg import solve_triangular
 
-            P = Q @ solve_triangular(R.T, jnp.eye(R.shape[0], dtype=Q.dtype),
-                                     lower=True)  # = Q R^{-T}
+            P = jnp.matmul(
+                Q, solve_triangular(R.T, jnp.eye(R.shape[0], dtype=Q.dtype),
+                                    lower=True),
+                precision=jax.lax.Precision.HIGHEST)  # = Q R^{-T}
         return cls(A, b, P, direct=direct, cg_max_iters=cg_max_iters)
 
     def init_state(self, dtype):
@@ -83,7 +85,11 @@ class AffineSet(_StatelessSet):
             return y, state
         resid = x @ self.A.T - self.b if x.ndim > 1 else self.A @ x - self.b
         if self.direct:
-            y = x - resid @ self.P.T if x.ndim > 1 else x - self.P @ resid
+            # full f32 (bf16 MXU default displaces fixed points, r4)
+            hi = jax.lax.Precision.HIGHEST
+            y = (x - jnp.matmul(resid, self.P.T, precision=hi)
+                 if x.ndim > 1 else
+                 x - jnp.matmul(self.P, resid, precision=hi))
             return y, state
         warm = jnp.where(state.initialized, state.warm, jnp.zeros_like(resid))
         floor = self.b.shape[0] * jnp.finfo(x.dtype).eps
