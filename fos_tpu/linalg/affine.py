@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from fos_tpu.linalg import hsde_ops
-from fos_tpu.linalg.hsde_ops import _PREC  # full-f32 matmuls (bf16 MXU default)
+from fos_tpu.linalg.hsde_ops import PREC as _PREC  # full-f32 matmuls (bf16 MXU default)
 from fos_tpu.linalg.cg import (CGState, conjugate_gradient,
                                conjugate_gradient_pipelined, decreasing_tolerance)
 

@@ -34,7 +34,8 @@ from jax.experimental import sparse as jsparse
 # projection accuracy and measurably stalls dual-residual convergence on
 # SDPs (round 4; see PERF.md).  Matvecs are HBM-bound, so the precision
 # upgrade costs ~nothing on the wall clock.
-_PREC = jax.lax.Precision.HIGHEST
+PREC = jax.lax.Precision.HIGHEST
+_PREC = PREC  # backward-compat alias
 
 
 def _dense_mv(A, x):

@@ -50,7 +50,7 @@ def build_batched_form(A, b, c, K1: ConeSpec, K2: ConeSpec, *, direct=False,
             return jnp.matmul(
                 Qf, solve_triangular(R.T, jnp.eye(l, dtype=Qi.dtype),
                                      lower=True),
-                precision=jax.lax.Precision.HIGHEST)
+                precision=hsde_ops.PREC)
 
         fac = jax.vmap(_qr_fac)(Qd)
         s1 = HSDEAffineProjector(A, b, c, fac, direct=True,

@@ -66,10 +66,12 @@ class AffineSet(_StatelessSet):
             Q, R = jnp.linalg.qr(Ad.T, mode="reduced")  # A' = Q R
             from jax.scipy.linalg import solve_triangular
 
+            from fos_tpu.linalg.hsde_ops import PREC as _hi
+
             P = jnp.matmul(
                 Q, solve_triangular(R.T, jnp.eye(R.shape[0], dtype=Q.dtype),
                                     lower=True),
-                precision=jax.lax.Precision.HIGHEST)  # = Q R^{-T}
+                precision=_hi)  # = Q R^{-T}
         return cls(A, b, P, direct=direct, cg_max_iters=cg_max_iters)
 
     def init_state(self, dtype):
@@ -83,21 +85,27 @@ class AffineSet(_StatelessSet):
             # CG solve per row; warm-start state is shared read-only.
             y, _ = jax.vmap(lambda xi: self.project(xi, state))(x)
             return y, state
-        resid = x @ self.A.T - self.b if x.ndim > 1 else self.A @ x - self.b
-        if self.direct:
-            # full f32 (bf16 MXU default displaces fixed points, r4)
-            hi = jax.lax.Precision.HIGHEST
-            y = (x - jnp.matmul(resid, self.P.T, precision=hi)
+        # every matvec at full f32: the bf16 MXU default displaces fixed
+        # points (r4) — including the RESIDUAL, not just the projection map
+        from fos_tpu.linalg.hsde_ops import PREC as _hi
+
+        resid = (jnp.matmul(x, self.A.T, precision=_hi) - self.b
                  if x.ndim > 1 else
-                 x - jnp.matmul(self.P, resid, precision=hi))
+                 jnp.matmul(self.A, x, precision=_hi) - self.b)
+        if self.direct:
+            y = (x - jnp.matmul(resid, self.P.T, precision=_hi)
+                 if x.ndim > 1 else
+                 x - jnp.matmul(self.P, resid, precision=_hi))
             return y, state
         warm = jnp.where(state.initialized, state.warm, jnp.zeros_like(resid))
         floor = self.b.shape[0] * jnp.finfo(x.dtype).eps
         res = conjugate_gradient(
-            lambda mu: self.A @ (self.A.T @ mu), resid, warm,
-            tol=floor, max_iters=self.cg_max_iters,
+            lambda mu: jnp.matmul(
+                self.A, jnp.matmul(self.A.T, mu, precision=_hi),
+                precision=_hi),
+            resid, warm, tol=floor, max_iters=self.cg_max_iters,
         )
-        y = x - self.A.T @ res.x
+        y = x - jnp.matmul(self.A.T, res.x, precision=_hi)
         return y, CGState(res.x, jnp.asarray(True), state.call_idx + 1, res.iters)
 
 
