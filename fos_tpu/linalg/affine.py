@@ -32,6 +32,95 @@ from fos_tpu.linalg.cg import (CGState, conjugate_gradient,
                                conjugate_gradient_pipelined, decreasing_tolerance)
 
 
+def _host_q_dense_f64(A, b, c):
+    """Materialize Q on HOST in f64 (mirrors hsde_ops.q_dense) — avoids a
+    device jit compile + a big fetch on the direct-mode build path, which
+    cost ~6 s + 1.4 s at l=2001 over the axon tunnel (round 5)."""
+    import numpy as np
+
+    if hasattr(A, "A_pad"):
+        A = A.A_pad[: A.m, : A.n]
+    if hasattr(A, "todense") and not isinstance(A, jnp.ndarray):
+        A = A.todense()
+    Ah = np.asarray(jax.device_get(A), np.float64)
+    bh = np.asarray(jax.device_get(b), np.float64)
+    ch = np.asarray(jax.device_get(c), np.float64)
+    m, n = Ah.shape
+    l = m + n + 1
+    Q = np.zeros((l, l))
+    Q[:n, n:n + m] = Ah.T
+    Q[:n, -1] = ch
+    Q[n:n + m, :n] = -Ah
+    Q[n:n + m, -1] = bh
+    Q[-1, :n] = -ch
+    Q[-1, n:n + m] = -bh
+    return Q
+
+
+def _ls_projection_fac(Mtop, *, eye_first, out_dtype=None):
+    """Cached least-squares map ``P = Q_f R^{-T}`` of ``QR([I; Mtop])``
+    (``eye_first=True``), ``QR([Mtop; I])`` (``eye_first=False``), or
+    ``QR(Mtop)`` with no identity stack (``eye_first=None``).
+
+    The reference pays one host sparse QR at load time (HSDE.jl:15 via
+    ProximalOperators' ``IndAffine``); device QR on TPU is known-slow
+    (38 s for a (4002, 2001) factor vs ~1 s on host LAPACK, BENCH_r04
+    ``direct_1e6nnz.qr_init_s``), so when ``Mtop`` is a concrete array we
+    factor on HOST in f64 (strictly more accurate than an in-dtype device
+    QR: representation error only, the factorization itself is f64) and
+    cast the result once.  Under tracing (jit/vmap — e.g. re-sharding a
+    built form) we fall back to the device QR, which is the only option.
+    """
+    import numpy as np
+
+    if isinstance(Mtop, jax.core.Tracer):
+        from jax.scipy.linalg import solve_triangular
+
+        k = Mtop.shape[-1]
+
+        def _fac(Mi):
+            eye = jnp.eye(k, dtype=Mi.dtype)
+            if eye_first is None:
+                M = Mi
+            elif eye_first:
+                M = jnp.concatenate([eye, Mi], axis=0)
+            else:
+                M = jnp.concatenate([Mi, eye], axis=0)
+            Qf, R = jnp.linalg.qr(M, mode="reduced")
+            return jnp.matmul(Qf, solve_triangular(R.T, eye, lower=True),
+                              precision=_PREC)
+
+        return jax.vmap(_fac)(Mtop) if Mtop.ndim == 3 else _fac(Mtop)
+
+    import scipy.linalg
+
+    Mh = np.asarray(jax.device_get(Mtop), dtype=np.float64)
+    batched = Mh.ndim == 3
+    if not batched:
+        Mh = Mh[None]
+    k = Mh.shape[-1]
+    eye = np.eye(k)
+    out = np.empty((Mh.shape[0], Mh.shape[1] + (0 if eye_first is None else k), k))
+    for i in range(Mh.shape[0]):
+        if eye_first is None:
+            M = Mh[i]
+        else:
+            M = np.zeros((Mh.shape[1] + k, k))
+            sl = slice(0, k) if eye_first else slice(Mh.shape[1], None)
+            np.fill_diagonal(M[sl], 1.0)
+            M[slice(k, None) if eye_first else slice(0, Mh.shape[1])] = Mh[i]
+        Qf, R = scipy.linalg.qr(M, mode="economic", check_finite=False,
+                                overwrite_a=eye_first is not None)
+        out[i] = Qf @ scipy.linalg.solve_triangular(R.T, eye, lower=True,
+                                                    check_finite=False)
+    if not batched:
+        out = out[0]
+    if out_dtype is None:
+        out_dtype = jnp.asarray(Mtop).dtype if not isinstance(Mtop, np.ndarray) \
+            else jnp.zeros((), Mtop.dtype).dtype  # canonicalized (x64 gating)
+    return jnp.asarray(out, dtype=out_dtype)
+
+
 def _default_floor(size: int, dtype) -> float:
     """CG absolute-tolerance floor: the reference's ``size*eps``
     (affinepluslinear.jl:108).  At f32 and large size this is ~1e-3
@@ -105,16 +194,17 @@ class HSDEAffineProjector:
         if direct:
             # u = argmin ||[I; Q] u - z||^2 (normal eq: (I + Q'Q) u = u0 + Q'v0).
             # QR of M = [I; Q] touches cond(M) = O(sigma_max(Q)) once;
-            # P = Q_f R^{-T} gives u = P' z in one GEMV.
-            from jax.scipy.linalg import solve_triangular
-
-            Qd = hsde_ops.q_dense(A, b, c)
-            l = Qd.shape[0]
-            M = jnp.concatenate([jnp.eye(l, dtype=Qd.dtype), Qd], axis=0)
-            Qf, R = jnp.linalg.qr(M, mode="reduced")
-            fac = jnp.matmul(
-                Qf, solve_triangular(R.T, jnp.eye(l, dtype=Qd.dtype),
-                                     lower=True), precision=_PREC)
+            # P = Q_f R^{-T} gives u = P' z in one GEMV.  Factored on host
+            # in f64 when concrete (see _ls_projection_fac); Q itself is
+            # also built on host then (skips a device compile + fetch).
+            leaves = jax.tree_util.tree_leaves((A, b, c))
+            if any(isinstance(x, jax.core.Tracer) for x in leaves):
+                fac = _ls_projection_fac(hsde_ops.q_dense(A, b, c),
+                                         eye_first=True)
+            else:
+                fac = _ls_projection_fac(
+                    _host_q_dense_f64(A, b, c), eye_first=True,
+                    out_dtype=jnp.asarray(b).dtype)
         return cls(A, b, c, fac, direct=direct,
                    decreasing_accuracy=decreasing_accuracy,
                    cg_max_iters=cg_max_iters, tol_floor=tol_floor,
@@ -230,15 +320,9 @@ class AffinePlusLinearProjector:
             # lam = argmin ||[A'; I] lam - [x1-q; -(beta x2 + b)]||^2
             # (normal eq: (I + AA') lam = A(x1-q) - beta x2 - b); QR of
             # N = [A'; I] touches cond once (vs squared via Cholesky).
-            from jax.scipy.linalg import solve_triangular
-
+            # Factored on host in f64 when concrete (_ls_projection_fac).
             Ad = A.todense() if hasattr(A, "todense") else A
-            m = Ad.shape[0]
-            N = jnp.concatenate([Ad.T, jnp.eye(m, dtype=Ad.dtype)], axis=0)
-            Qf, R = jnp.linalg.qr(N, mode="reduced")
-            fac = jnp.matmul(Qf, solve_triangular(
-                R.T, jnp.eye(m, dtype=Ad.dtype), lower=True),
-                precision=_PREC)
+            fac = _ls_projection_fac(Ad.T, eye_first=False)
         return cls(A, b, q, beta, fac, direct=direct,
                    decreasing_accuracy=decreasing_accuracy, cg_max_iters=cg_max_iters)
 

@@ -36,23 +36,13 @@ def build_batched_form(A, b, c, K1: ConeSpec, K2: ConeSpec, *, direct=False,
     if direct:
         # batched QR least-squares maps (B, 2l, l) — same construction as
         # HSDEAffineProjector.create (QR touches the conditioning once; a
-        # Cholesky of I + Q'Q squares sigma_max, see linalg/affine.py)
-        from jax.scipy.linalg import solve_triangular
-
+        # Cholesky of I + Q'Q squares sigma_max, see linalg/affine.py);
+        # host f64 LAPACK per instance when concrete (_ls_projection_fac)
         from fos_tpu.linalg import hsde_ops
+        from fos_tpu.linalg.affine import _ls_projection_fac
 
         Qd = jax.vmap(hsde_ops.q_dense)(A, b, c)
-        l = Qd.shape[-1]
-
-        def _qr_fac(Qi):
-            Mi = jnp.concatenate([jnp.eye(l, dtype=Qi.dtype), Qi], axis=0)
-            Qf, R = jnp.linalg.qr(Mi, mode="reduced")
-            return jnp.matmul(
-                Qf, solve_triangular(R.T, jnp.eye(l, dtype=Qi.dtype),
-                                     lower=True),
-                precision=hsde_ops.PREC)
-
-        fac = jax.vmap(_qr_fac)(Qd)
+        fac = _ls_projection_fac(Qd, eye_first=True)
         s1 = HSDEAffineProjector(A, b, c, fac, direct=True,
                                  decreasing_accuracy=False,
                                  cg_max_iters=cg_max_iters)

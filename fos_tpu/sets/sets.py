@@ -62,16 +62,12 @@ class AffineSet(_StatelessSet):
             # P = A'(AA')^{-1} = Q R^{-T} touches cond(A) once — a
             # Cholesky/inverse of AA' squares it (measured: 9e-4 error at
             # cond(A) = 1e7 vs 1e-9 via QR, test_linalg.py).
+            # P = Q R^{-T} of QR(A'); host f64 LAPACK when concrete
+            # (device QR on TPU is ~40x slower, see linalg/affine.py)
+            from fos_tpu.linalg.affine import _ls_projection_fac
+
             Ad = A.todense() if hasattr(A, "todense") else A
-            Q, R = jnp.linalg.qr(Ad.T, mode="reduced")  # A' = Q R
-            from jax.scipy.linalg import solve_triangular
-
-            from fos_tpu.linalg.hsde_ops import PREC as _hi
-
-            P = jnp.matmul(
-                Q, solve_triangular(R.T, jnp.eye(R.shape[0], dtype=Q.dtype),
-                                    lower=True),
-                precision=_hi)  # = Q R^{-T}
+            P = _ls_projection_fac(Ad.T, eye_first=None)
         return cls(A, b, P, direct=direct, cg_max_iters=cg_max_iters)
 
     def init_state(self, dtype):
