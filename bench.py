@@ -228,12 +228,234 @@ def sdp_batched_bench(alg=None, Bs=64, d=64, bench_iters=300,
     }
 
 
+def socp_lasso_bench(m=1000, n=1000, bench_iters=500, quality_iters=8000,
+                     eps=1e-5):
+    """SOCP lasso — the SOC-cone-projection path end to end on hardware
+    (BASELINE.json configs[2]: "FISTA + GAPP with iproj=100 on SOCP
+    lasso/portfolio"; VERDICT r4 missing item 1: the one BASELINE problem
+    class with zero TPU numbers).
+
+    min t + lam*||x||_1  s.t.  ||Ax - b|| <= t, written conically over
+    z = (x, u, t) with K1 = SOC(m+1) x NonNeg(2n) (u majorizes |x|):
+    reference IndSOC role (/root/reference/src/cones.jl:8).  Data matrix
+    A is 1000x1000 (1e6 nnz inside the constraint matrix).  DR carries the
+    eps=1e-5 quality contract; FISTA and GAPP(iproj=100) report throughput
+    + budgeted objective (both are slow-converging on HSDE problems, like
+    the reference, whose feasibility tests expect FISTA :Indeterminate —
+    testfeasibility.jl:21-31)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from fos_tpu import DR
+    from fos_tpu.cones import ConeSpec
+    from fos_tpu.cones.spec import free, nonneg as _nonneg, soc
+    from fos_tpu.problems.conic import conic_problem
+    from fos_tpu.problems.hsde import HSDEForm
+    from fos_tpu.solvers.base import FISTA, GAPP
+    from fos_tpu.solvers.engine import fused_solve
+
+    rng = np.random.default_rng(3)
+    A = (rng.standard_normal((m, n)) / np.sqrt(m)).astype(np.float32)
+    xstar = rng.standard_normal(n) * (rng.random(n) < 0.1)
+    bvec = (A @ xstar + 0.01 * rng.standard_normal(m)).astype(np.float32)
+    lam = float(0.1 * np.max(np.abs(A.T @ bvec)))
+    G = np.zeros((m + 1 + 2 * n, 2 * n + 1), np.float32)
+    h = np.zeros(m + 1 + 2 * n, np.float32)
+    G[0, -1] = -1.0                      # s0 = t
+    G[1:m + 1, :n] = A                   # s_1: = b - Ax
+    h[1:m + 1] = bvec
+    G[m + 1:m + 1 + n, :n] = np.eye(n)   # s = u - x >= 0
+    G[m + 1:m + 1 + n, n:2 * n] = -np.eye(n)
+    G[m + 1 + n:, :n] = -np.eye(n)       # s = u + x >= 0
+    G[m + 1 + n:, n:2 * n] = -np.eye(n)
+    cvec = np.zeros(2 * n + 1, np.float32)
+    cvec[n:2 * n] = lam
+    cvec[-1] = 1.0
+    K1 = ConeSpec.concat([soc(m + 1), _nonneg(2 * n)])
+    prob = conic_problem(jnp.asarray(G), jnp.asarray(h), jnp.asarray(cvec),
+                         K1, free(2 * n + 1))
+    form = HSDEForm.build(prob)
+    x0 = form.initial_value(form.dtype)
+    g_bytes = G.shape[0] * G.shape[1] * 4
+
+    def lasso_obj(x):
+        return float(np.linalg.norm(A @ x - bvec) + lam * np.sum(np.abs(x)))
+
+    stats = {"nnz_data": int(m * n), "rows": int(G.shape[0]),
+             "cols": int(G.shape[1])}
+    algs = {"dr": DR(), "fista": FISTA(),
+            "gapp_iproj100": GAPP(direct=False, iproj=100)}
+    l = form.l
+    for name, alg in algs.items():
+        def make_run(nn, alg=alg):
+            return jax.jit(lambda f, x, eps: fused_solve(
+                alg, f, x, max_iters=nn, eps=eps, checki=100, unroll=4))
+
+        ips, (lo, hi) = diff_iters_per_s(make_run, bench_iters, form, x0, 0.0,
+                                         median_of=3, with_spread=True)
+        entry = {"iters_per_s": round(ips, 1),
+                 "iters_per_s_spread": [round(lo, 1), round(hi, 1)]}
+        # 2 fused-pair G passes per iteration at steady state (same traffic
+        # model as the main section)
+        gbps = ips * 2 * g_bytes / 1e9
+        entry["effective_gbps"] = round(gbps, 1)
+        entry["hbm_frac"] = round(gbps / HBM_PEAK_GBPS, 3)
+        rq = make_run(quality_iters, alg)(form, x0, eps)
+        xs = np.asarray(rq.guess[:n] / rq.guess[l - 1])
+        entry.update({"eps1e-5_status": int(rq.status),
+                      "eps1e-5_iters": int(rq.iters),
+                      "obj": round(lasso_obj(xs), 6)})
+        stats[name] = entry
+    # cross-algorithm objective agreement (no external oracle in-image):
+    # all three descend the same problem; DR's is the certified one
+    objs = [stats[k]["obj"] for k in algs]
+    stats["max_rel_obj_spread"] = round(
+        (max(objs) - min(objs)) / max(abs(o) for o in objs), 6)
+    return stats
+
+
+def sdp_single_bench(d=512, bench_iters=100, quality_iters=4000, eps=1e-5):
+    """One realistic single-block SDP on hardware (VERDICT r4 missing item
+    2; the testPSD.jl role at scale, /root/reference/test/testPSD.jl:1-26):
+    min <C, X> s.t. tr X = 1, X >> 0 — objective = lambda_min(C), oracled
+    by host f64 eigvalsh.  A = [svec(I)'; -I_L] is matrix-free (a dense A
+    would be L^2 ~ 1.7e10 entries at d=512); the pacing kernel is the PSD
+    projection of one d x d block per iteration.  The quality run is
+    SEGMENTED into <=1000-iteration dispatches (axon watchdog, ROADMAP r4
+    item 2)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from fos_tpu import DR
+    from fos_tpu.cones import ConeSpec, free
+    from fos_tpu.cones.project import svec
+    from fos_tpu.cones.spec import Cone
+    from fos_tpu.problems.conic import ConicProblem
+    from fos_tpu.problems.hsde import HSDEForm
+    from fos_tpu.solvers.engine import fused_solve
+
+    @jax.tree_util.register_pytree_node_class
+    class LambdaMinSdpOp:
+        """Matrix-free A = [svec(I)'; -I_L] (mv/rmv/mv_pair protocol)."""
+
+        def __init__(self, sI):
+            self.sI = sI
+
+        def tree_flatten(self):
+            return (self.sI,), ()
+
+        @classmethod
+        def tree_unflatten(cls, aux, ch):
+            return cls(*ch)
+
+        @property
+        def shape(self):
+            L = self.sI.shape[0]
+            return (1 + L, L)
+
+        @property
+        def m(self):
+            return self.shape[0]
+
+        @property
+        def n(self):
+            return self.shape[1]
+
+        def mv(self, x):
+            return jnp.concatenate([jnp.vdot(self.sI, x)[None], -x])
+
+        def rmv(self, y):
+            return self.sI * y[0] - y[1:]
+
+        def mv_pair(self, x1, x2):
+            return self.mv(x1), self.rmv(x2)
+
+    L = d * (d + 1) // 2
+    key = jax.random.PRNGKey(29)
+    C = jax.random.normal(key, (d, d), jnp.float32) / float(np.sqrt(d))
+    C = (C + C.T) / 2
+    sC = svec(C, scaled=True)
+    sI = svec(jnp.eye(d, dtype=jnp.float32), scaled=True)
+    op = LambdaMinSdpOp(sI)
+    bq = jnp.zeros(1 + L, jnp.float32).at[0].set(1.0)
+    K1 = ConeSpec(((Cone.ZERO, 1), (Cone.PSD, L)))
+    prob = ConicProblem(op, bq, sC, K1, free(L))
+    form = HSDEForm.build(prob, densify=False)
+    x0 = form.initial_value(form.dtype)
+
+    def make_run(nn):
+        return jax.jit(lambda f, x, eps: fused_solve(
+            alg_dr, f, x, max_iters=nn, eps=eps, checki=100))
+
+    alg_dr = DR()
+    ips = diff_iters_per_s(make_run, bench_iters, form, x0, 0.0)
+    # segmented quality run (<=1000 fused iterations per dispatch)
+    run_seg = jax.jit(lambda f, x, eps: fused_solve(
+        alg_dr, f, x, max_iters=1000, eps=eps, checki=100))
+    res = run_seg(form, x0, eps)
+    tot = int(res.iters)
+    while int(res.status) == 0 and tot < quality_iters:
+        res = fused_solve(alg_dr, form, x0, max_iters=1000, eps=eps,
+                          checki=100, resume_state=res.state,
+                          budget_iters=tot + 1000)
+        tot = int(res.iters)
+    l = form.l
+    obj = float(jnp.vdot(sC, res.guess[:L]) / res.guess[l - 1])
+    lam_min = float(np.linalg.eigvalsh(np.asarray(C, np.float64))[0])
+    return {"d": d, "iters_per_s": round(ips, 1),
+            "eps1e-5_status": int(res.status), "iters": tot,
+            "obj": round(obj, 6), "lam_min_f64_oracle": round(lam_min, 6),
+            "rel_obj_err": round(abs(obj - lam_min) / (1 + abs(lam_min)), 6)}
+
+
+def all_algorithm_smoke():
+    """Every exported algorithm runs a real fused chunk ON DEVICE and
+    reports its status (VERDICT r4 weak item 5: the ROADMAP claim had no
+    artifact).  Small LP; statuses follow the reference's expectations
+    (AP/FISTA may legitimately be Continue=0 at this budget,
+    testfeasibility.jl:21-31 analogue — the smoke asserts execution, not
+    convergence)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from fos_tpu import AP, DR, GAP, GAPA, GAPP, FISTA, Dykstra
+    from fos_tpu.cones import nonneg
+    from fos_tpu.problems.conic import conic_problem
+    from fos_tpu.problems.hsde import HSDEForm
+    from fos_tpu.solvers.engine import fused_solve
+
+    bm, bn = 64, 96
+    rng = np.random.default_rng(5)
+    A = (rng.standard_normal((bm, bn)) / np.sqrt(bn)).astype(np.float32)
+    bb = (A @ np.abs(rng.standard_normal(bn))
+          + np.abs(rng.standard_normal(bm))).astype(np.float32)
+    cc = np.abs(rng.standard_normal(bn)).astype(np.float32)
+    prob = conic_problem(jnp.asarray(A), jnp.asarray(bb), jnp.asarray(cc),
+                         nonneg(bm), nonneg(bn))
+    form = HSDEForm.build(prob)
+    x0 = form.initial_value(form.dtype)
+    out = {}
+    for name, alg in (("gap", GAP()), ("dr", DR()), ("ap", AP()),
+                      ("gapa", GAPA()), ("gapp", GAPP(direct=False)),
+                      ("fista", FISTA()), ("dykstra", Dykstra())):
+        try:
+            r = fused_solve(alg, form, x0, max_iters=5000, eps=1e-5,
+                            checki=100)
+            out[name] = {"status": int(r.status), "iters": int(r.iters)}
+        except Exception as e:  # noqa: BLE001 - per-alg isolation
+            out[name] = {"error": f"{type(e).__name__}: {e}"[:120]}
+    return out
+
+
 # TPU v5e HBM bandwidth (speed-of-light reference for hbm_frac fields;
 # 743 GB/s is the best dense-matvec read rate measured on this chip)
 HBM_PEAK_GBPS = 819.0
 
 
-def diff_iters_per_s(make_run, n, *args):
+def diff_iters_per_s(make_run, n, *args, median_of=1, with_spread=False):
     """True iterations/s with the tunnel fetch cost cancelled.
 
     The axon tunnel's per-fetch cost reached ~28 ms in round 4 (round 2:
@@ -241,7 +463,13 @@ def diff_iters_per_s(make_run, n, *args):
     Time the same solve compiled for n and 2n iterations and difference:
     (T(2n) - T(n)) / n cancels every fixed cost (fetch, dispatch, loop
     spin-up) exactly.  ``make_run(n)`` must return a jitted fn running
-    exactly n iterations; ``args`` are its call arguments."""
+    exactly n iterations; ``args`` are its call arguments.
+
+    ``median_of``: repeat the differential measurement and take the median
+    (VERDICT r4 weak item 2: single-shot numbers drifted up to 25% between
+    a mid-round capture and the driver's round-end run; the headline and
+    direct sections report median-of-3 + spread so PERF.md quotes carry
+    their own variance)."""
     import time as _time
     import jax.numpy as _jnp
 
@@ -252,12 +480,19 @@ def diff_iters_per_s(make_run, n, *args):
 
     sync(r1(*args))  # compile + warm
     sync(r2(*args))
-    t0 = _time.perf_counter()
-    sync(r1(*args))
-    t1 = _time.perf_counter()
-    sync(r2(*args))
-    t2 = _time.perf_counter()
-    return n / max((t2 - t1) - (t1 - t0), 1e-9)
+    vals = []
+    for _ in range(median_of):
+        t0 = _time.perf_counter()
+        sync(r1(*args))
+        t1 = _time.perf_counter()
+        sync(r2(*args))
+        t2 = _time.perf_counter()
+        vals.append(n / max((t2 - t1) - (t1 - t0), 1e-9))
+    vals.sort()
+    med = vals[len(vals) // 2]
+    if with_spread:
+        return med, (vals[0], vals[-1])
+    return med
 
 
 def _section(extras, name, fn):
@@ -305,16 +540,31 @@ def exp_pow_projection_bench():
                 return v * 1.0000001  # keep the chain data-dependent
             return jax.lax.fori_loop(0, reps, body, V)
 
-        R = 25  # R=5 differentials were noise-dominated (negative ns)
+        def measure(R):
+            t0 = time.perf_counter()
+            float(jnp.sum(chain(V, alpha, R)))
+            t1 = time.perf_counter()
+            float(jnp.sum(chain(V, alpha, 2 * R)))
+            t2 = time.perf_counter()
+            return (t2 - t1) - (t1 - t0)
+
+        # VERDICT r4 weak item 4: R=25 left the exp differential below the
+        # tunnel noise floor and the max(.., 0.0) clamp reported a
+        # non-measurement (0.0 ns).  Scale reps until the differential
+        # clears 50 ms, then report median-of-3 with a half-range error bar.
+        R = 25
         float(jnp.sum(chain(V, alpha, R)))  # compile + warm
         float(jnp.sum(chain(V, alpha, 2 * R)))
-        t0 = time.perf_counter()
-        float(jnp.sum(chain(V, alpha, R)))
-        t1 = time.perf_counter()
-        float(jnp.sum(chain(V, alpha, 2 * R)))
-        t2 = time.perf_counter()
-        per = max(((t2 - t1) - (t1 - t0)) / R, 0.0)
-        stats[f"{name}_ns_per_projection"] = round(per / K * 1e9, 2)
+        while measure(R) < 0.05 and R < 1600:
+            R *= 2
+            float(jnp.sum(chain(V, alpha, R)))
+            float(jnp.sum(chain(V, alpha, 2 * R)))
+        diffs = sorted(measure(R) for _ in range(3))
+        per = diffs[1] / R
+        stats[f"{name}_ns_per_projection"] = round(per / K * 1e9, 3)
+        stats[f"{name}_ns_err"] = round(
+            (diffs[2] - diffs[0]) / 2 / R / K * 1e9, 3)
+        stats[f"{name}_reps"] = R
     return stats
 
 
@@ -403,8 +653,11 @@ def tpu_bench():
         res = run(form, x0, 0.0)
         float(jnp.sum(res.guess))  # compile + warm
         assert int(res.iters) == BENCH_ITERS, f"early exit at {int(res.iters)}"
-        headline["iters_per_s"] = diff_iters_per_s(
-            make_run, BENCH_ITERS, form, x0, 0.0)
+        headline["iters_per_s"], spread = diff_iters_per_s(
+            make_run, BENCH_ITERS, form, x0, 0.0, median_of=3,
+            with_spread=True)
+        extras["main_iters_per_s_spread"] = [round(spread[0], 1),
+                                             round(spread[1], 1)]
         # effective HBM traffic MODEL: ~2 A-passes per outer iteration at
         # steady state — XLA fuses each q_mul's (A@z1, A'@z2) into ONE HBM
         # pass, and the warm-started CG typically needs ~0-1 inner
@@ -516,10 +769,12 @@ def tpu_bench():
             return jax.jit(lambda f, x, eps: fused_solve(
                 algd, f, x, max_iters=n, eps=eps, checki=CHECKI, unroll=16))
 
-        ips = diff_iters_per_s(make_rund, 2000, formd, x0d, 0.0)
+        ips, spread = diff_iters_per_s(make_rund, 2000, formd, x0d, 0.0,
+                                       median_of=3, with_spread=True)
         rd = make_rund(2000)(formd, x0d, 1e-5)
         extras["direct_1e6nnz"] = {
             "iters_per_s": round(ips, 1),
+            "iters_per_s_spread": [round(spread[0], 1), round(spread[1], 1)],
             "qr_init_s": round(init_s, 1),
             "eps1e-5_status": int(rd.status),
             "eps1e-5_iters": int(rd.iters),
@@ -634,6 +889,27 @@ def tpu_bench():
     ep = _section(extras, "exp/pow cost", exp_pow_projection_bench)
     if ep is not None:
         extras["exp_pow_projection"] = ep
+
+    # SOCP lasso: DR quality + FISTA/GAPP throughput (VERDICT r4 item 1)
+    so = _section(extras, "socp lasso", socp_lasso_bench)
+    if so is not None:
+        extras["socp_lasso_1e6nnz"] = so
+
+    # every algorithm executes a fused chunk on device (VERDICT r4 item 9)
+    alsm = _section(extras, "all-alg smoke", all_algorithm_smoke)
+    if alsm is not None:
+        extras["all_algorithm_device_smoke"] = alsm
+
+    # single-block SDPs run LATE (PSD-heavy sections crashed the worker in
+    # r3/r4 dry runs; ordering caps the blast radius) — VERDICT r4 item 4
+    s512 = _section(extras, "sdp single 512", lambda: sdp_single_bench(d=512))
+    if s512 is not None:
+        extras["sdp_single_512"] = s512
+    s1024 = _section(extras, "sdp single 1024",
+                     lambda: sdp_single_bench(d=1024, bench_iters=50,
+                                              quality_iters=2000))
+    if s1024 is not None:
+        extras["sdp_single_1024"] = s1024
 
     # batched SDP LAST among device sections: it crashed the TPU worker in
     # r3 AND r4 dry runs, and a dead worker fails every later device

@@ -41,6 +41,24 @@ def _h(rho, r, s, t):
     return ((rho - 1.0) * r + s) * jnp.exp(rho) + (rho * s - r) * jnp.exp(-rho) - quad * t
 
 
+def _h_sign(rho, r, s, t):
+    """h(rho) scaled by exp(-|rho|) — same sign, never overflows.
+
+    Degenerate inputs (e.g. r = 1e-12, s = -1: lb1 = 1 - s/r ~ 1e12) put
+    the root where exp(rho) overflows; the raw ``_h`` then evaluates
+    0 * inf = NaN and the bisection collapses to NaN.  Multiplying by the
+    positive factor exp(-rho) (rho >= 0) / exp(rho) (rho < 0) preserves
+    the sign with all exponentials bounded by 1."""
+    pos = rho >= 0
+    e1 = jnp.exp(-jnp.abs(rho))
+    e2 = e1 * e1
+    quad = rho * (rho - 1.0) + 1.0
+    a = (rho - 1.0) * r + s
+    b = rho * s - r
+    return jnp.where(pos, a + b * e2 - quad * t * e1,
+                     a * e2 + b - quad * t * e1)
+
+
 def _h_grad(rho, r, s, t):
     return (
         (rho * r + s) * jnp.exp(rho)
@@ -86,25 +104,32 @@ def _hard_case_root(r, s, t):
     lb2 = jnp.where(s < 0, r / jnp.where(s < 0, s, 1.0), -jnp.inf)
     ub2 = jnp.where(s > 0, r / jnp.where(s > 0, s, 1.0), jnp.inf)
 
-    lb = jnp.maximum(lb1, lb2)
-    ub = jnp.minimum(ub1, ub2)
-    lb_finite = jnp.isfinite(lb)
-    ub_finite = jnp.isfinite(ub)
+    # Cap the bracket at a dtype-safe magnitude: beyond it quad = rho^2-ish
+    # overflows (f32) and the regime is degenerate anyway (exp(+-rho) has
+    # long over/underflowed, so the scaled sign is exactly sign((rho-1)r+s)
+    # there and the root collapses onto the x2 = 0 feasibility edge).
+    rho_cap = jnp.asarray(1e150 if r.dtype == jnp.float64 else 1e9, r.dtype)
+    lb = jnp.clip(jnp.maximum(lb1, lb2), -rho_cap, rho_cap)
+    ub = jnp.clip(jnp.minimum(ub1, ub2), -rho_cap, rho_cap)
+    lb_finite = jnp.isfinite(jnp.maximum(lb1, lb2))
+    ub_finite = jnp.isfinite(jnp.minimum(ub1, ub2))
     lo = jnp.where(lb_finite, lb, jnp.where(ub_finite, ub - big, -big))
     hi = jnp.where(ub_finite, ub, jnp.where(lb_finite, lb + big, big))
 
-    h_lo = _h(lo, r, s, t)
-    h_hi = _h(hi, r, s, t)
+    h_lo = _h_sign(lo, r, s, t)
+    h_hi = _h_sign(hi, r, s, t)
 
     # Expand the unbounded end(s) geometrically until a sign change is
     # bracketed; finite feasibility ends stay fixed (the root lies inside).
     def expand(carry, _):
         lo, hi, h_lo, h_hi, width = carry
         no_bracket = jnp.sign(h_lo) == jnp.sign(h_hi)
-        new_lo = jnp.where(no_bracket & ~lb_finite, lo - width, lo)
-        new_hi = jnp.where(no_bracket & ~ub_finite, hi + width, hi)
-        new_h_lo = jnp.where(no_bracket, _h(new_lo, r, s, t), h_lo)
-        new_h_hi = jnp.where(no_bracket, _h(new_hi, r, s, t), h_hi)
+        new_lo = jnp.where(no_bracket & ~lb_finite,
+                           jnp.maximum(lo - width, -rho_cap), lo)
+        new_hi = jnp.where(no_bracket & ~ub_finite,
+                           jnp.minimum(hi + width, rho_cap), hi)
+        new_h_lo = jnp.where(no_bracket, _h_sign(new_lo, r, s, t), h_lo)
+        new_h_hi = jnp.where(no_bracket, _h_sign(new_hi, r, s, t), h_hi)
         return (new_lo, new_hi, new_h_lo, new_h_hi, width * 2.0), None
 
     (lo, hi, h_lo, h_hi, _), _ = jax.lax.scan(
@@ -115,7 +140,7 @@ def _hard_case_root(r, s, t):
     def bisect(carry, _):
         lo, hi, h_lo = carry
         mid = 0.5 * (lo + hi)
-        h_mid = _h(mid, r, s, t)
+        h_mid = _h_sign(mid, r, s, t)
         go_right = jnp.sign(h_mid) == jnp.sign(h_lo)
         new_lo = jnp.where(go_right, mid, lo)
         new_hi = jnp.where(go_right, hi, mid)
@@ -152,7 +177,16 @@ def project_exp_single(v):
     rho = _hard_case_root(rh, sh, th)
     quad = rho * (rho - 1.0) + 1.0
     x2 = jnp.maximum(((rho - 1.0) * rh + sh) / quad, 0.0)
-    p_hard = jnp.stack([rho * x2, x2, x2 * jnp.exp(rho)])
+    # z = x2 * e^rho overflows in the degenerate large-rho regime (e.g.
+    # r -> 0+, s < 0 puts the root at rho ~ -s/r); there use the multiplier
+    # stationarity z = t + mu with mu = (r - rho*s) e^(-rho) / quad, whose
+    # e^(-rho) underflows to the correct limit instead of overflowing.
+    log_max = jnp.asarray(0.98 * jnp.log(jnp.finfo(v.dtype).max), v.dtype)
+    rho_z = jnp.minimum(rho, log_max)
+    mu = (rh - rho * sh) * jnp.exp(-jnp.abs(rho)) / quad
+    z_hard = jnp.where(rho > log_max, jnp.maximum(th + mu, 0.0),
+                       x2 * jnp.exp(rho_z))
+    p_hard = jnp.stack([rho * x2, x2, z_hard])
 
     p_special = jnp.stack([r, jnp.zeros_like(s), jnp.maximum(t, 0.0)])
     zero3 = jnp.zeros_like(v)
