@@ -29,7 +29,9 @@ import jax.numpy as jnp
 from fos_tpu.linalg import hsde_ops
 from fos_tpu.linalg.hsde_ops import PREC as _PREC  # full-f32 matmuls (bf16 MXU default)
 from fos_tpu.linalg.cg import (CGState, conjugate_gradient,
-                               conjugate_gradient_pipelined, decreasing_tolerance)
+                               conjugate_gradient_pipelined,
+                               conjugate_gradient_tracked,
+                               decreasing_tolerance)
 
 
 def _host_q_dense_f64(A, b, c):
@@ -119,6 +121,12 @@ def _ls_projection_fac(Mtop, *, eye_first, out_dtype=None):
         out_dtype = jnp.asarray(Mtop).dtype if not isinstance(Mtop, np.ndarray) \
             else jnp.zeros((), Mtop.dtype).dtype  # canonicalized (x64 gating)
     return jnp.asarray(out, dtype=out_dtype)
+
+
+def _cum(total, iters):
+    """Accumulate CGState.total_iters telemetry (None-safe for states built
+    positionally without the field)."""
+    return None if total is None else total + iters
 
 
 def _default_floor(size: int, dtype) -> float:
@@ -224,6 +232,33 @@ class HSDEAffineProjector:
 
     init_state = init_cg_state  # set-protocol alias (solvers.base.TwoSets)
 
+    def init_state_from(self, z0) -> CGState:
+        """Warm-start state seeded from the initial iterate: ``warm = u0``
+        (the reference's first-run seed) plus ``v_warm = Q u0``, paying ONE
+        q_mul at init time so every projection afterwards forms its CG
+        residual with a single fused A-pass (see :class:`CGState.v_warm`).
+        Direct mode and the pipelined CG variant never read ``v_warm``;
+        they keep the dtype-only state."""
+        if self.direct or self.cg_variant == "pipelined":
+            return self.init_cg_state(z0.dtype)
+        u0 = z0[: self.l]
+        return CGState.create(self.l, z0.dtype)._replace(
+            warm=u0, v_warm=hsde_ops.q_mul(self.A, self.b, self.c, u0),
+            initialized=jnp.asarray(True))
+
+    def refresh_state(self, cg: CGState) -> CGState:
+        """Re-anchor the tracked invariant ``v_warm = Q warm`` with one
+        fresh matvec.  The incremental ``Qx += alpha * Qp`` track
+        accumulates a rounding random-walk across outer iterations (~
+        sqrt(k) * eps(f32) relative), which at tight eps (1e-7, f32)
+        displaces the DR fixed point enough to stall; the engines call
+        this once per check chunk, bounding the walk to ``checki`` steps
+        for one amortized A-pass per chunk."""
+        if getattr(cg, "v_warm", None) is None:
+            return cg
+        return cg._replace(
+            v_warm=hsde_ops.q_mul(self.A, self.b, self.c, cg.warm))
+
     def project(self, z, cg: CGState):
         l = self.l
         u0 = z[:l]
@@ -236,9 +271,22 @@ class HSDEAffineProjector:
             new_cg = cg._replace(call_idx=cg.call_idx + 1,
                                  last_iters=jnp.asarray(0, jnp.int32))
         else:
-            # rhs = u0 + Q' v0 = u0 - Q v0 (skew-symmetry)
-            rhs = u0 - hsde_ops.q_mul(self.A, self.b, self.c, v0)
-            warm = jnp.where(cg.initialized, cg.warm, u0)
+            tracked = cg.v_warm is not None and self.cg_variant != "pipelined"
+            if tracked:
+                # One fused A-pass for the initial residual, using the
+                # carried invariant v_warm = Q warm and skew-symmetry:
+                #   r0 = rhs - (I + Q'Q) warm
+                #      = u0 - Q v0 - warm - Q'(Q warm)
+                #      = u0 - Q(v0 - v_warm) - warm.
+                warm = cg.warm
+                r0 = (u0 - hsde_ops.q_mul(self.A, self.b, self.c,
+                                          v0 - cg.v_warm) - warm)
+            else:
+                # legacy path (pipelined variant, or states created without
+                # v_warm — e.g. checkpoints from older runs)
+                # rhs = u0 + Q' v0 = u0 - Q v0 (skew-symmetry)
+                rhs = u0 - hsde_ops.q_mul(self.A, self.b, self.c, v0)
+                warm = jnp.where(cg.initialized, cg.warm, u0)
             # reference floor: size(KKT,2)*eps = 2l*eps
             # (affinepluslinear.jl:108) — an f64 formula that is ~1e-3
             # ABSOLUTE at f32/large l and can stall whole problem classes
@@ -257,6 +305,19 @@ class HSDEAffineProjector:
                 tol = decreasing_tolerance(cg.call_idx, floor, z.dtype)
             else:
                 tol = jnp.asarray(floor, z.dtype)
+            if tracked:
+                res = conjugate_gradient_tracked(
+                    lambda x: hsde_ops.q_mul(self.A, self.b, self.c, x),
+                    r0, warm, cg.v_warm, tol=tol,
+                    max_iters=self.cg_max_iters, unroll=self.cg_unroll,
+                    compensated=self.compensated,
+                )
+                new_cg = cg._replace(warm=res.x, v_warm=res.Qx,
+                                     initialized=jnp.asarray(True),
+                                     call_idx=cg.call_idx + 1,
+                                     last_iters=res.iters,
+                                 total_iters=_cum(cg.total_iters, res.iters))
+                return jnp.concatenate([res.x, res.Qx]), new_cg
             if self.cg_variant == "pipelined":
                 res = conjugate_gradient_pipelined(
                     lambda x: hsde_ops.hsde_normal_mul(self.A, self.b, self.c, x),
@@ -271,7 +332,8 @@ class HSDEAffineProjector:
             u = res.x
             new_cg = cg._replace(warm=u, initialized=jnp.asarray(True),
                                  call_idx=cg.call_idx + 1,
-                                 last_iters=res.iters)
+                                 last_iters=res.iters,
+                                 total_iters=_cum(cg.total_iters, res.iters))
         v = hsde_ops.q_mul(self.A, self.b, self.c, u)
         return jnp.concatenate([u, v]), new_cg
 
@@ -367,7 +429,8 @@ class AffinePlusLinearProjector:
             lam = res.x
             new_cg = cg._replace(warm=lam, initialized=jnp.asarray(True),
                                  call_idx=cg.call_idx + 1,
-                                 last_iters=res.iters)
+                                 last_iters=res.iters,
+                                 total_iters=_cum(cg.total_iters, res.iters))
         y1 = x1 - self.q - hsde_ops.rmv(self.A, lam)
         y2 = x2 + self.beta * lam
         return jnp.concatenate([y1, y2]), new_cg

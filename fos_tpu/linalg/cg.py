@@ -50,6 +50,18 @@ class CGState(NamedTuple):
     #: window ago) — lives here, like ``floor``, so it survives segmented
     #: fused solves (resume_state carries the whole CGState)
     win_score: Any = None
+    #: cumulative CG iterations across all projection calls (int32) —
+    #: telemetry for traffic models (A-passes/outer-iteration = 1 + 2*kbar
+    #: on the tracked HSDE path) and perf analysis; None for states built
+    #: positionally by other sets
+    total_iters: Any = None
+    #: ``Q @ warm`` carried alongside the warm start (HSDE S1 projector):
+    #: lets the next projection form its initial CG residual as
+    #: ``r0 = u0 - Q(v0 - v_warm) - warm`` (ONE fused A-pass) instead of
+    #: rhs-build + normal-matvec (three), and makes the output ``v = Q u``
+    #: free via the tracked recurrence ``Qx += alpha * Qp`` — 4 + 2k fused
+    #: A-passes per outer iteration become 1 + 2k (None -> legacy path)
+    v_warm: Any = None
 
     @staticmethod
     def create(size: int, dtype) -> "CGState":
@@ -58,6 +70,7 @@ class CGState(NamedTuple):
             initialized=jnp.asarray(False),
             call_idx=jnp.asarray(1, jnp.int32),
             last_iters=jnp.asarray(0, jnp.int32),
+            total_iters=jnp.asarray(0, jnp.int32),
         )
 
 
@@ -124,6 +137,71 @@ def conjugate_gradient(
 
     x, _, _, rn, iters = jax.lax.while_loop(cond, body, (x0, r0, r0, rn0, jnp.asarray(0, jnp.int32)))
     return CGResult(x=x, iters=iters, rnorm=jnp.sqrt(rn))
+
+
+class CGTrackedResult(NamedTuple):
+    x: jnp.ndarray
+    Qx: jnp.ndarray         # Q @ x, tracked through the recurrence
+    iters: jnp.ndarray
+    rnorm: jnp.ndarray
+
+
+def conjugate_gradient_tracked(
+    q_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    r0: jnp.ndarray,
+    x0: jnp.ndarray,
+    Qx0: jnp.ndarray,
+    *,
+    tol,
+    max_iters: int,
+    unroll: int = 1,
+    compensated: bool = False,
+) -> CGTrackedResult:
+    """CG on the HSDE normal operator ``M = I + Q'Q`` that tracks ``Q x``.
+
+    The caller supplies the initial residual ``r0 = rhs - M(x0)`` (cheaply,
+    via the skew-symmetry identity — see :class:`CGState`) and ``Qx0 =
+    Q @ x0``.  Each iteration computes ``Qp`` once and reuses it for both
+    ``M p = p - Q(Q p)`` and the ``Qx += alpha * Qp`` track, so the final
+    ``v = Q u`` costs no extra matvec.  Identical x/r/p arithmetic to
+    :func:`conjugate_gradient` on the same operator.
+    """
+    if compensated:
+        from fos_tpu.linalg.compensated import cdot as _dot
+    else:
+        _dot = jnp.vdot
+
+    rn0 = _dot(r0, r0)
+    tol2 = jnp.asarray(tol, r0.dtype) ** 2
+
+    def cond(state):
+        _, _, _, _, rn, it = state
+        return (rn > tol2) & (it < max_iters)
+
+    def one(state):
+        x, Qx, r, p, rn, it = state
+        live = rn > tol2
+        Qp = q_fn(p)
+        Ap = p - q_fn(Qp)
+        den = _dot(Ap, p)
+        alpha = jnp.where(live & (den != 0), rn / jnp.where(den != 0, den, 1.0), 0.0)
+        x = x + alpha * p
+        Qx = Qx + alpha * Qp
+        r = r - alpha * Ap
+        rn_new = _dot(r, r)
+        beta = jnp.where(live, rn_new / jnp.where(rn > 0, rn, 1.0), 0.0)
+        p = jnp.where(live, r + beta * p, p)
+        rn_out = jnp.where(live, rn_new, rn)
+        return (x, Qx, r, p, rn_out, it + live.astype(jnp.int32))
+
+    def body(state):
+        for _ in range(unroll):
+            state = one(state)
+        return state
+
+    x, Qx, _, _, rn, iters = jax.lax.while_loop(
+        cond, body, (x0, Qx0, r0, r0, rn0, jnp.asarray(0, jnp.int32)))
+    return CGTrackedResult(x=x, Qx=Qx, iters=iters, rnorm=jnp.sqrt(rn))
 
 
 def conjugate_gradient_pipelined(

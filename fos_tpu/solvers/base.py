@@ -126,13 +126,21 @@ class TwoSets:
 
 
 def init_solver_state(alg, sets: TwoSets, x0) -> SolverState:
+    # a set may seed its state from the initial iterate (init_state_from):
+    # the HSDE S1 projector uses it to pre-pay Q @ u0 once so every
+    # projection in the hot loop costs one fused A-pass (CGState.v_warm)
+    def init(s):
+        if hasattr(s, "init_state_from"):
+            return s.init_state_from(x0)
+        return s.init_state(x0.dtype)
+
     return SolverState(
         x=x0,
         i=jnp.asarray(0, jnp.int32),
         z_check=x0,
         z_check_prev=x0,
-        s1_state=sets.s1.init_state(x0.dtype),
-        s2_state=sets.s2.init_state(x0.dtype),
+        s1_state=init(sets.s1),
+        s2_state=init(sets.s2),
         aux=alg.init_aux(x0),
     )
 

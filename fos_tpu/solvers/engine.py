@@ -54,6 +54,15 @@ def validate_options(options):
             f"valid options: {sorted(allowed)}")
 
 
+def _refresh_s1(sets, st: SolverState) -> SolverState:
+    """Chunk-boundary re-anchor of tracked projector invariants (the HSDE
+    S1 projector's v_warm = Q warm; see HSDEAffineProjector.refresh_state).
+    One amortized matvec per checki iterations; no-op for other sets."""
+    if hasattr(sets.s1, "refresh_state"):
+        return st._replace(s1_state=sets.s1.refresh_state(st.s1_state))
+    return st
+
+
 @functools.partial(jax.jit, static_argnames=("alg", "nsteps", "eps", "unroll"))
 def _run_chunk(alg, form, st: SolverState, nsteps: int, eps: float,
                unroll: int = 1):
@@ -61,6 +70,7 @@ def _run_chunk(alg, form, st: SolverState, nsteps: int, eps: float,
         return alg.step(form.sets, st)
 
     st = jax.lax.fori_loop(0, nsteps, body, st, unroll=unroll)
+    st = _refresh_s1(form.sets, st)
     chk = form.check(st.z_check, eps, prev=st.z_check_prev)
     return st, chk
 
@@ -76,6 +86,7 @@ def _run_chunk_logged(alg, form, st: SolverState, nsteps: int, eps: float,
 
     st = jax.lax.fori_loop(0, nsteps - 1, body, st, unroll=unroll)
     st, snaps = alg.step_logged(form.sets, st)
+    st = _refresh_s1(form.sets, st)
     chk = form.check(st.z_check, eps, prev=st.z_check_prev)
     return st, chk, snaps
 
@@ -191,6 +202,7 @@ def fused_solve(alg, form, x0, *, max_iters: int = 10000, eps: float = 1e-5,
     def run_chunk(st, status, k, hist, stall, nsteps):
         """One nsteps-iteration chunk + check, masked by the freeze flag."""
         st_new = jax.lax.fori_loop(0, nsteps, body, st, unroll=unroll)
+        st_new = _refresh_s1(form.sets, st_new)
         chk = form.check(st_new.z_check, eps, prev=st_new.z_check_prev)
         # freeze once terminated (matters under vmap)
         cont = status == Status.CONTINUE

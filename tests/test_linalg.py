@@ -350,3 +350,64 @@ def test_direct_mode_qr_large_sigma_max(rng):
         yref = np.concatenate([x[:n] - q - A.T @ lam, x[n:] + beta * lam])
         err = np.linalg.norm(np.asarray(yp) - yref) / np.linalg.norm(yref)
         assert err < 1e-7
+
+
+def test_tracked_cg_matches_standard(rng):
+    # conjugate_gradient_tracked: identical x/r/p arithmetic to standard CG
+    # on M = I + Q'Q, with Qx carried through the alpha*Qp recurrence
+    from fos_tpu.linalg.cg import conjugate_gradient_tracked
+
+    A, b, c = _problem(rng)
+    l = A.shape[0] + A.shape[1] + 1
+    rhs = jnp.asarray(rng.standard_normal(l))
+    x0 = jnp.zeros(l)
+    r1 = conjugate_gradient(
+        lambda v: hsde_ops.hsde_normal_mul(A, b, c, v), rhs, x0,
+        tol=1e-10, max_iters=500)
+    r2 = conjugate_gradient_tracked(
+        lambda v: hsde_ops.q_mul(A, b, c, v), rhs, x0, jnp.zeros(l),
+        tol=1e-10, max_iters=500)
+    np.testing.assert_allclose(np.asarray(r2.x), np.asarray(r1.x), atol=1e-9)
+    assert abs(int(r1.iters) - int(r2.iters)) <= 1
+    # the tracked Qx really is Q @ x
+    np.testing.assert_allclose(
+        np.asarray(r2.Qx), np.asarray(hsde_ops.q_mul(A, b, c, r2.x)),
+        atol=1e-9)
+
+
+def test_tracked_projection_matches_legacy(rng):
+    # init_state_from seeds v_warm = Q u0; the tracked one-A-pass residual
+    # path must reproduce the legacy rhs-build path along a whole
+    # reflect-style trajectory, keep the v_warm invariant, and accumulate
+    # the total_iters telemetry that bench.py's traffic model reads
+    A, b, c = _problem(rng)
+    l = A.shape[0] + A.shape[1] + 1
+    proj = HSDEAffineProjector.create(A, b, c, decreasing_accuracy=False)
+    z0 = jnp.asarray(rng.standard_normal(2 * l))
+    cg_t = proj.init_state_from(z0)
+    cg_l = proj.init_cg_state(z0.dtype)
+    assert cg_t.v_warm is not None and cg_l.v_warm is None
+    np.testing.assert_allclose(
+        np.asarray(cg_t.v_warm),
+        np.asarray(hsde_ops.q_mul(A, b, c, z0[:l])), atol=1e-12)
+
+    zt = zl = z0
+    iters_seen = 0
+    for k in range(6):
+        yt, cg_t = proj.project(zt, cg_t)
+        yl, cg_l = proj.project(zl, cg_l)
+        np.testing.assert_allclose(np.asarray(yt), np.asarray(yl),
+                                   atol=1e-8)
+        iters_seen += int(cg_t.last_iters)
+        step = jnp.asarray(rng.standard_normal(2 * l)) * 0.1
+        zt = 2 * yt - zt + step
+        zl = 2 * yl - zl + step
+    assert int(cg_t.total_iters) == iters_seen
+    # invariant: v_warm == Q warm (tracked recurrence, then refresh)
+    np.testing.assert_allclose(
+        np.asarray(cg_t.v_warm),
+        np.asarray(hsde_ops.q_mul(A, b, c, cg_t.warm)), atol=1e-8)
+    cg_r = proj.refresh_state(cg_t)
+    np.testing.assert_allclose(
+        np.asarray(cg_r.v_warm),
+        np.asarray(hsde_ops.q_mul(A, b, c, cg_t.warm)), atol=1e-14)
