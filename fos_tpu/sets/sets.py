@@ -167,7 +167,12 @@ class Halfspace(_StatelessSet):
         return cls(*children)
 
     def project(self, x, state):
-        viol = (x @ self.a - self.beta) / jnp.vdot(self.a, self.a)
+        from fos_tpu.linalg.hsde_ops import PREC as _hi
+
+        # full-f32 contraction (bf16 MXU default distorts the violation
+        # estimate for batched x on TPU)
+        viol = ((jnp.matmul(x, self.a, precision=_hi) - self.beta)
+                / jnp.vdot(self.a, self.a))
         viol = jnp.maximum(viol, 0.0)
         return x - viol[..., None] * self.a if x.ndim > 1 else x - viol * self.a, state
 

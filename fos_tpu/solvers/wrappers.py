@@ -25,6 +25,12 @@ from typing import Any, Tuple
 import jax
 import jax.numpy as jnp
 
+# full-f32 contractions: the plane-QP Gram and Anderson Gram contract over
+# length-l iterates; TPU MXU default is bf16 inputs (~1e-2 relative), which
+# distorts tiny Gram systems built from near-parallel vectors.  These
+# matmuls are O(r*l) / O(k*l) with r,k <= ~20 — HIGHEST is free here.
+_hi = jax.lax.Precision.HIGHEST
+
 from fos_tpu.linalg.cg import CGState
 from fos_tpu.solvers.base import Algorithm, PlaneBuf, SolverState
 
@@ -148,8 +154,8 @@ def _project_on_planes(x, A, b, nsave: int, iters: int = 400):
     the system is tiny (r = 2*(nsave+1)) so the Gram matrix is cheap.
     """
     r = A.shape[0]
-    G = A @ A.T
-    g0 = A @ x - b
+    G = jnp.matmul(A, A.T, precision=_hi)
+    g0 = jnp.matmul(A, x, precision=_hi) - b
     # Lipschitz bound: trace(G) >= lambda_max(G); guard zero planes.
     L = jnp.maximum(jnp.trace(G), 1e-30)
     ineq_mask = (jnp.arange(r) > nsave).astype(x.dtype)
@@ -162,14 +168,14 @@ def _project_on_planes(x, A, b, nsave: int, iters: int = 400):
         th, th_prev, t = carry
         t_new = (1.0 + jnp.sqrt(1.0 + 4.0 * t**2)) / 2.0
         w = th + ((t - 1.0) / t_new) * (th - th_prev)
-        grad = G @ w - g0
+        grad = jnp.matmul(G, w, precision=_hi) - g0
         th_next = proj_feasible(w - grad / L)
         return (th_next, th, t_new), None
 
     th0 = jnp.zeros(r, dtype=x.dtype)
     (th, _, _), _ = jax.lax.scan(body, (th0, th0, jnp.asarray(1.0, x.dtype)), None,
                                  length=iters)
-    return x - A.T @ th
+    return x - jnp.matmul(A.T, th, precision=_hi)
 
 
 @dataclass(frozen=True)
@@ -251,7 +257,7 @@ class AndersonWrapper(Algorithm):
         # scaling) and regularize relative to dtype precision: in f32 the
         # raw Gram of near-parallel residuals is numerically singular and
         # un-regularized AA diverges (measured on TPU).
-        M = Fb @ Fb.T
+        M = jnp.matmul(Fb, Fb.T, precision=_hi)
         tr = jnp.maximum(jnp.trace(M), jnp.asarray(1e-30, st.x.dtype))
         M = M / tr
         reg = jnp.maximum(jnp.asarray(self.reg, st.x.dtype),
@@ -262,7 +268,7 @@ class AndersonWrapper(Algorithm):
         ones = jnp.ones(k, st.x.dtype)
         w = jnp.linalg.solve(M, ones)
         alpha = w / jnp.sum(w)
-        x_aa = alpha @ (Xb + Fb)
+        x_aa = jnp.matmul(alpha, Xb + Fb, precision=_hi)
 
         # use AA once engaged, with >= 2 pairs, and the solve stayed finite
         use_aa = engaged & (count >= 2) & jnp.all(jnp.isfinite(x_aa))
