@@ -21,7 +21,11 @@ import sys
 import time
 
 M = N = 1000          # dense A: 1e6 nnz
-BENCH_ITERS = 1000    # fixed outer iterations for throughput measurement
+BENCH_ITERS = 3000    # fixed outer iterations for throughput measurement
+# (r5: the tracked-CG path runs the 1000^2 point at ~76k iters/s, so
+# T(1000) ~ 13 ms is too small against tunnel timing noise — 3000 keeps
+# the differential T(2N)-T(N) ~ 40 ms; also gives the shared-compilation
+# eps=1e-5 quality run budget past its ~900-1100 stop point)
 CHECKI = 100
 BASE_ITERS = 100      # numpy baseline outer iterations
 
@@ -302,9 +306,7 @@ def socp_lasso_bench(m=1000, n=1000, bench_iters=500, quality_iters=8000,
                 / max(float(rq.state.s1_state.call_idx) - 1.0, 1.0))
         passes = 1.0 + 2.0 * kbar + 0.01
         entry["passes_per_iter"] = round(passes, 3)
-        gbps = ips * passes * g_bytes / 1e9
-        entry["effective_gbps"] = round(gbps, 1)
-        entry["hbm_frac"] = round(gbps / HBM_PEAK_GBPS, 3)
+        entry.update(traffic_fields(ips * passes * g_bytes / 1e9))
         xs = np.asarray(rq.guess[:n] / rq.guess[l - 1])
         entry.update({"eps1e-5_status": int(rq.status),
                       "eps1e-5_iters": int(rq.iters),
@@ -394,20 +396,26 @@ def sdp_single_bench(d=512, bench_iters=100, quality_iters=4000, eps=1e-5):
 
     alg_dr = DR()
     ips = diff_iters_per_s(make_run, bench_iters, form, x0, 0.0)
-    # segmented quality run (<=1000 fused iterations per dispatch)
+    # segmented quality run (<=1000 fused iterations per dispatch) with
+    # GAPA(0.8, 0.9): measured r5 on this problem family, GAPA certifies
+    # the 512^2 block Optimal at 4000 iterations where plain DR needs
+    # 28900 (7.2x) and Anderson-DR descends fast but jitters around the
+    # fixed point without certifying (/tmp/sdp512_aa_probe r5)
+    from fos_tpu import GAPA
+    alg_q = GAPA(0.8, 0.9)
     run_seg = jax.jit(lambda f, x, eps: fused_solve(
-        alg_dr, f, x, max_iters=1000, eps=eps, checki=100))
+        alg_q, f, x, max_iters=1000, eps=eps, checki=100))
     res = run_seg(form, x0, eps)
     tot = int(res.iters)
     while int(res.status) == 0 and tot < quality_iters:
-        res = fused_solve(alg_dr, form, x0, max_iters=1000, eps=eps,
+        res = fused_solve(alg_q, form, x0, max_iters=1000, eps=eps,
                           checki=100, resume_state=res.state,
                           budget_iters=tot + 1000)
         tot = int(res.iters)
     l = form.l
     obj = float(jnp.vdot(sC, res.guess[:L]) / res.guess[l - 1])
     lam_min = float(np.linalg.eigvalsh(np.asarray(C, np.float64))[0])
-    out = {"d": d, "iters_per_s": round(ips, 1),
+    out = {"d": d, "iters_per_s": round(ips, 1), "quality_alg": "gapa",
            "eps1e-5_status": int(res.status), "iters": tot,
            "converged": int(res.status) == 1,
            "obj": round(obj, 6), "lam_min_f64_oracle": round(lam_min, 6),
@@ -415,7 +423,10 @@ def sdp_single_bench(d=512, bench_iters=100, quality_iters=4000, eps=1e-5):
     if int(res.status) != 1:
         # explicit throughput+descent report: the iterate objective is a
         # mid-trajectory value (tau-scaled recovery of an infeasible-side
-        # point), NOT an approximation of lam_min — label it as such
+        # point), NOT an approximation of lam_min — label it as such.
+        # (d=512 measured Optimal at 28900 iters; d=1024 extrapolates to
+        # ~60k+ at 23 iters/s = 45+ min, outside the bench budget — its
+        # entry is a throughput + descent-rate measurement by design.)
         out["note"] = "budget-limited descent point; obj is mid-trajectory"
     return out
 
@@ -463,6 +474,21 @@ def all_algorithm_smoke():
 # TPU v5e HBM bandwidth (speed-of-light reference for hbm_frac fields;
 # 743 GB/s is the best dense-matvec read rate measured on this chip)
 HBM_PEAK_GBPS = 819.0
+
+
+def traffic_fields(gbps):
+    """effective_gbps / hbm_frac report, annotated when the HBM-streaming
+    premise breaks: hbm_frac > 1 is impossible for data actually streamed
+    from HBM — it means XLA kept the operand VMEM-resident across the
+    fused unrolled chunk (first seen r5: the 4 MB 1000^2 A at 2.5x HBM
+    peak, the 64 MB 4000^2 A at 6.3x), i.e. the solve escaped the HBM
+    bound entirely at this size.  The model still reports the
+    HBM-equivalent traffic so rounds stay comparable."""
+    f = {"effective_gbps": round(gbps, 1),
+         "hbm_frac": round(gbps / HBM_PEAK_GBPS, 3)}
+    if gbps > HBM_PEAK_GBPS:
+        f["traffic_note"] = "exceeds HBM peak => operand VMEM-resident"
+    return f
 
 
 def diff_iters_per_s(make_run, n, *args, median_of=1, with_spread=False):
@@ -680,9 +706,9 @@ def tpu_bench():
         passes = 1.0 + 2.0 * kbar + 1.0 / CHECKI
         extras["main_cg_kbar"] = round(kbar, 4)
         extras["main_passes_per_iter"] = round(passes, 3)
-        gbps = headline["iters_per_s"] * passes * (M * N * 4) / 1e9
-        extras["main_effective_gbps"] = round(gbps, 1)
-        extras["main_hbm_frac"] = round(gbps / HBM_PEAK_GBPS, 3)
+        for k, v in traffic_fields(
+                headline["iters_per_s"] * passes * (M * N * 4) / 1e9).items():
+            extras[f"main_{k}"] = v
 
         # quality: eps=1e-5 operating point on the same problem
         r2 = run(form, x0, 1e-5)
@@ -730,9 +756,8 @@ def tpu_bench():
                     / max(float(rs.state.s1_state.call_idx) - 1.0, 1.0))
             passes = 1.0 + 2.0 * kbar + 0.01
             scaling[f"{mn}x{mn}_passes_per_iter"] = round(passes, 3)
-            gbps = ips * passes * (mn * mn * 4) / 1e9
-            scaling[f"{mn}x{mn}_effective_gbps"] = round(gbps, 1)
-            scaling[f"{mn}x{mn}_hbm_frac"] = round(gbps / HBM_PEAK_GBPS, 3)
+            for k, v in traffic_fields(ips * passes * (mn * mn * 4) / 1e9).items():
+                scaling[f"{mn}x{mn}_{k}"] = v
         extras["scaling"] = scaling
 
     _section(extras, "scaling", scaling_section)
@@ -851,9 +876,7 @@ def tpu_bench():
         passes = 1.0 + 2.0 * kbar + 0.01
         stats["passes_per_iter"] = round(passes, 3)
         tile_bytes = nnz_sp * 4
-        gbps = ips * passes * tile_bytes / 1e9
-        stats["effective_gbps"] = round(gbps, 1)
-        stats["hbm_frac"] = round(gbps / HBM_PEAK_GBPS, 3)
+        stats.update(traffic_fields(ips * passes * tile_bytes / 1e9))
 
         # A/B: banded (contiguous x window) layout of the same problem vs
         # the ELL layout above (both use their fused mv_pair kernels)
@@ -931,13 +954,15 @@ def tpu_bench():
 
     # single-block SDPs run LATE (PSD-heavy sections crashed the worker in
     # r3/r4 dry runs; ordering caps the blast radius) — VERDICT r4 item 4
+    # 512 converges Optimal at 4000 GAPA iters (28900 with plain DR —
+    # measured r5); budget 8000 covers it with margin
     s512 = _section(extras, "sdp single 512",
-                    lambda: sdp_single_bench(d=512, quality_iters=12000))
+                    lambda: sdp_single_bench(d=512, quality_iters=8000))
     if s512 is not None:
         extras["sdp_single_512"] = s512
     s1024 = _section(extras, "sdp single 1024",
                      lambda: sdp_single_bench(d=1024, bench_iters=50,
-                                              quality_iters=4000))
+                                              quality_iters=8000))
     if s1024 is not None:
         extras["sdp_single_1024"] = s1024
 

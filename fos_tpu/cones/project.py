@@ -218,17 +218,30 @@ def _build_plan(blocks: Tuple[Tuple[Cone, int], ...],
                 d_k = psd_side_from_len(s_k)
                 rows[k, ~mask[k]] = d_k
                 cols[k, ~mask[k]] = d_k
-        plan["psd"].append(
-            {
-                "side": S,
-                "gather": np.stack(gather),      # (nb, LS)
-                "rows": rows,                    # (nb, LS)
-                "cols": cols,
-                "mask": mask,                    # False on padding slots
-                "uniform": bool(mask.all()),
-                "offdiag": (rows != cols) & mask,
-            }
-        )
+        entry = {
+            "side": S,
+            "gather": np.stack(gather),      # (nb, LS)
+            "rows": rows,                    # (nb, LS)
+            "cols": cols,
+            "mask": mask,                    # False on padding slots
+            "uniform": bool(mask.all()),
+            "offdiag": (rows != cols) & mask,
+        }
+        # Column-runs fast path for LARGE unpadded blocks: element
+        # gather/scatter of the triangle costs ~18 ms at side 1024 on TPU
+        # (no fast unstructured gather); the svec layout is column-stacked
+        # CONTIGUOUS runs, so the matrix builds from S fixed-length
+        # dynamic slices (gather-of-slices, ~1 ms) and packs back with a
+        # reverse-order run-write loop (~1.5 ms) — measured 6.7x on the
+        # wrap at d=1024 (PERF.md r5).  Small/padded buckets keep the
+        # batched gather path (hardware-validated r4).
+        if entry["uniform"] and S >= 256 and len(gather) <= 8:
+            col = np.arange(S)
+            entry["run_starts"] = (col * S - (col * (col - 1)) // 2
+                                   - col).astype(np.int32)
+            entry["bases"] = tuple(
+                int(o) for _, offs in entries for o in offs)
+        plan["psd"].append(entry)
     if exp_idx:
         starts = np.array(exp_idx)
         plan["exp"] = starts[:, None] + np.arange(3)[None, :]  # (k, 3)
@@ -370,6 +383,64 @@ def _rot_positions(soc):
     return _rot_positions_cached(tuple(soc["idx"]), tuple(soc["rot_p"]))
 
 
+def _psd_project_group_runs(x, y, grp, psd_method: str = "eigh"):
+    """Column-runs variant of :func:`_psd_project_group` for large unpadded
+    blocks (see the plan builder comment).  svec column ``j`` of a block at
+    base ``b`` occupies the contiguous run ``x[b+off_j : b+off_j+(S-j)]``
+    with ``off_j = j*S - j(j-1)/2``; with ``start_j = off_j - j`` the
+    fixed-length window ``x[b+start_j : b+start_j+S]`` holds ``X[i, j]``
+    at offset ``i`` for every ``i >= j``, and by symmetry the ``i < j``
+    entries come from the transposed window — so the full matrix is
+    ``where(i >= j, C^T, C)`` of the S-window stack C (one gather-of-
+    slices, no element scatter).  The pack back writes the S windows in
+    REVERSE column order: window ``j-1`` ends exactly at ``off_j``, so
+    each write's invalid prefix lands in territory a later (smaller-j)
+    write owns (measured bit-exact vs the gather path)."""
+    S = grp["side"]
+    starts = jnp.asarray(grp["run_starts"])          # (S,) int32
+    LS = S * (S + 1) // 2
+    ii = jnp.arange(S)[:, None]
+    jj = jnp.arange(S)[None, :]
+    offd = (ii != jj)
+    unscale = jnp.where(offd, 1.0 / _SQRT2, 1.0).astype(x.dtype)
+    rescale = jnp.where(offd, _SQRT2, 1.0).astype(x.dtype)
+
+    blocks = []
+    for base in grp["bases"]:
+        blk = x[..., base:base + LS]
+        C = jax.vmap(
+            lambda s: jax.lax.dynamic_slice_in_dim(blk, s, S, axis=-1)
+        )(starts)                                    # (S_j, ..., S_i)
+        C = jnp.moveaxis(C, 0, -2)                   # (..., S_j, S_i)
+        CT = jnp.swapaxes(C, -1, -2)                 # (..., i, j)
+        blocks.append(jnp.where(ii >= jj, CT, jnp.swapaxes(CT, -1, -2)))
+    X = jnp.stack(blocks, axis=-3) * unscale         # (..., nb, S, S)
+
+    if psd_method == "poly":
+        from fos_tpu.cones.psd_poly import psd_project_poly
+
+        Xp = psd_project_poly(X)
+    else:
+        Xp = psd_project_eigh(X)
+    Xp = Xp * rescale
+
+    for k, base in enumerate(grp["bases"]):
+        Yt = jnp.swapaxes(Xp[..., k, :, :], -1, -2)  # (..., j, i)
+
+        def body(t, out):
+            j = S - 1 - t
+            row = jax.lax.dynamic_index_in_dim(Yt, j, axis=-2,
+                                               keepdims=False)
+            return jax.lax.dynamic_update_slice_in_dim(
+                out, row, starts[j], axis=-1)
+
+        blk_out = jax.lax.fori_loop(
+            0, S, body, jnp.zeros(Yt.shape[:-2] + (LS,), x.dtype),
+            unroll=16)
+        y = y.at[..., base:base + LS].set(blk_out)
+    return y
+
+
 def _psd_project_group(x, y, grp, psd_method: str = "eigh"):
     """Batched PSD projection for all blocks of one bucket (same padded
     side; heterogeneous real sides zero-padded — projection commutes with
@@ -379,6 +450,8 @@ def _psd_project_group(x, y, grp, psd_method: str = "eigh"):
     the lower triangle column-stacked with off-diagonals scaled by sqrt(2),
     so ||svec(X)|| = ||X||_F and projection commutes with the layout.
     """
+    if "run_starts" in grp:
+        return _psd_project_group_runs(x, y, grp, psd_method)
     side = grp["side"]
     rows, cols = grp["rows"], grp["cols"]  # (nb, L)
     nb = rows.shape[0]
