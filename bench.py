@@ -395,7 +395,7 @@ def sdp_single_bench(d=512, bench_iters=100, quality_iters=4000, eps=1e-5):
             alg_dr, f, x, max_iters=nn, eps=eps, checki=100))
 
     alg_dr = DR()
-    ips = diff_iters_per_s(make_run, bench_iters, form, x0, 0.0)
+    ips = diff_iters_per_s(make_run, bench_iters, form, x0, 0.0, median_of=3)
     # segmented quality run (<=1000 fused iterations per dispatch) with
     # GAPA(0.8, 0.9): measured r5 on this problem family, GAPA certifies
     # the 512^2 block Optimal at 4000 iterations where plain DR needs
@@ -517,13 +517,26 @@ def diff_iters_per_s(make_run, n, *args, median_of=1, with_spread=False):
     sync(r1(*args))  # compile + warm
     sync(r2(*args))
     vals = []
-    for _ in range(median_of):
+    # a tunnel hiccup (GC pause, RTT spike) can make T(2n) - T(n) <= 0 or
+    # absurdly small; such a differential is a NON-measurement — retry it
+    # instead of clamping (a clamped 1e-9 once published a 5e11 iters/s
+    # "spread" bound in a dry run)
+    attempts = 0
+    fallback = []
+    while len(vals) < median_of and attempts < 2 * median_of + 2:
+        attempts += 1
         t0 = _time.perf_counter()
         sync(r1(*args))
         t1 = _time.perf_counter()
         sync(r2(*args))
         t2 = _time.perf_counter()
-        vals.append(n / max((t2 - t1) - (t1 - t0), 1e-9))
+        dt = (t2 - t1) - (t1 - t0)
+        if dt > 100e-6:  # scheduling noise is ~10 us; below this is noise
+            vals.append(n / dt)
+        else:
+            fallback.append(n / max(dt, 100e-6))
+    if not vals:  # every attempt was noise-floor: report the upper bound
+        vals = fallback
     vals.sort()
     med = vals[len(vals) // 2]
     if with_spread:
@@ -748,7 +761,8 @@ def tpu_bench():
                     alg, f, x, max_iters=n, eps=eps, checki=100, unroll=4))
 
             x02 = form2.initial_value(form2.dtype)
-            ips = diff_iters_per_s(make_run2, 300, form2, x02, 0.0)
+            ips = diff_iters_per_s(make_run2, 300, form2, x02, 0.0,
+                                   median_of=3)
             scaling[f"{mn}x{mn}_iters_per_s"] = round(ips, 1)
             # measured-kbar pass model (see main section)
             rs = make_run2(300)(form2, x02, 0.0)
@@ -865,8 +879,11 @@ def tpu_bench():
                 alg, f, x, max_iters=n, eps=eps, checki=100, unroll=8))
 
         x0sp = form_sp.initial_value(form_sp.dtype)
-        ips = diff_iters_per_s(make_run_sp, 300, form_sp, x0sp, 0.0)
+        ips, sp_spread = diff_iters_per_s(make_run_sp, 300, form_sp, x0sp,
+                                            0.0, median_of=3, with_spread=True)
         stats["iters_per_s"] = round(ips, 1)
+        stats["iters_per_s_spread"] = [round(sp_spread[0], 1),
+                                       round(sp_spread[1], 1)]
         # HBM tile traffic: the fused mv_pair kernel streams the A table
         # once per q_mul; tracked S1 path (round 5) => 1 + 2*kbar q_muls
         # per iteration, kbar measured from cgiter telemetry
@@ -885,7 +902,7 @@ def tpu_bench():
             form_bd = HSDEForm.build(prob_bd, densify=False)
             stats["band_layout_iters_per_s"] = round(diff_iters_per_s(
                 make_run_sp, 300, form_bd,
-                form_bd.initial_value(form_bd.dtype), 0.0), 1)
+                form_bd.initial_value(form_bd.dtype), 0.0, median_of=3), 1)
 
         _section(extras, "band A/B", band_ab)
 
