@@ -441,18 +441,21 @@ def all_algorithm_smoke():
       a strictly feasible interior point, intersected with the nonneg
       orthant) — every algorithm, including the GAP family, converges
       here; expectation = Optimal for all 7.
-    - ``hsde_lp``: a small conic LP through the HSDE embedding — the
-      reference exercises only DR/GAPA-style configurations on conic
-      problems (testDRandGAPA.jl; its feasibility tests expect GAP/AP/
-      FISTA :Indeterminate, testfeasibility.jl:21-31), and statuses here
-      follow that split: DR and GAPA(0.8, 0.9) reach Optimal, the rest
-      legitimately stay Continue at this budget."""
+    - ``hsde_conic``: the reference README problem min ||Ax-b||^2,
+      x >= 0 (testDRandGAPA.jl:10-16 role; NonNeg x RotatedSOC cones —
+      also the rotated-SOC projection's device exercise) — the reference
+      proves only DR/GAPA-style configurations on conic problems (its
+      feasibility tests expect GAP/AP/FISTA :Indeterminate,
+      testfeasibility.jl:21-31), and statuses here follow that split:
+      DR and GAPA(0.8, 0.9) reach Optimal, the rest legitimately stay
+      Continue at this budget."""
     import numpy as np
     import jax
     import jax.numpy as jnp
 
     from fos_tpu import AP, DR, GAP, GAPA, GAPP, FISTA, Dykstra
-    from fos_tpu.cones import nonneg
+    from fos_tpu.cones import ConeSpec, nonneg, zero
+    from fos_tpu.cones.spec import Cone
     from fos_tpu.interface.api import solve_feasibility
     from fos_tpu.problems.conic import conic_problem
     from fos_tpu.problems.feasibility import Feasibility
@@ -467,14 +470,25 @@ def all_algorithm_smoke():
     bf = (Af @ xsol).astype(np.float32)
     feas_prob = Feasibility(AffineSet.create(Af, bf), NonNeg(), 100)
 
-    bm, bn = 64, 96
-    rng = np.random.default_rng(5)
-    A = (rng.standard_normal((bm, bn)) / np.sqrt(bn)).astype(np.float32)
-    bb = (A @ np.abs(rng.standard_normal(bn))
-          + np.abs(rng.standard_normal(bm))).astype(np.float32)
-    cc = np.abs(rng.standard_normal(bn)).astype(np.float32)
-    prob = conic_problem(jnp.asarray(A), jnp.asarray(bb), jnp.asarray(cc),
-                         nonneg(bm), nonneg(bn))
+    # README problem in conic form over (x, t, q, w): min t s.t.
+    # Ax - w = b, q = 1/2, (t, q, w) in RotatedSOC, x >= 0
+    bm, bn = 40, 50
+    rng = np.random.default_rng(2)
+    A = rng.standard_normal((bm, bn)).astype(np.float32)
+    bb = rng.standard_normal(bm).astype(np.float32)
+    nv = bn + 2 + bm
+    Ac = np.zeros((bm + 1, nv), np.float32)
+    bc = np.zeros(bm + 1, np.float32)
+    Ac[:bm, :bn] = A
+    Ac[:bm, bn + 2:] = -np.eye(bm)
+    bc[:bm] = bb
+    Ac[bm, bn + 1] = 1.0
+    bc[bm] = 0.5
+    cc = np.zeros(nv, np.float32)
+    cc[bn] = 1.0
+    K2 = ConeSpec(((Cone.NONNEG, bn), (Cone.SOC_ROTATED, 2 + bm)))
+    prob = conic_problem(jnp.asarray(Ac), jnp.asarray(bc), jnp.asarray(cc),
+                         zero(bm + 1), K2)
     form = HSDEForm.build(prob)
     x0 = form.initial_value(form.dtype)
     out = {}
@@ -497,10 +511,10 @@ def all_algorithm_smoke():
         try:
             r = fused_solve(hsde_alg, form, x0, max_iters=5000, eps=1e-5,
                             checki=100)
-            entry["hsde_lp"] = {"status": Status.name(int(r.status)),
-                                "iters": int(r.iters)}
+            entry["hsde_conic"] = {"status": Status.name(int(r.status)),
+                                   "iters": int(r.iters)}
         except Exception as e:  # noqa: BLE001 - per-alg isolation
-            entry["hsde_lp"] = {"error": f"{type(e).__name__}: {e}"[:120]}
+            entry["hsde_conic"] = {"error": f"{type(e).__name__}: {e}"[:120]}
         out[name] = entry
     return out
 
