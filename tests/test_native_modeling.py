@@ -249,8 +249,10 @@ def test_sparse_lowering_scales():
     assert sp.issparse(data["A"])
     assert data["A"].shape == (2 * n + m + 2, 2 * n + 1)
     # generous bound: r2 densified to a 320 GB A (OOM); the guard is
-    # "stays sparse and bounded", not a tight timing (suite-load noise)
-    assert dt < 20.0, f"lasso lowering took {dt:.1f}s"
+    # "stays sparse and bounded", not a tight timing — solo runs measure
+    # 7.5 s cold / 2.2 s warm, but under full-suite load + a co-running
+    # process this flaked at 49 s (r5), so the bound is deliberately wide
+    assert dt < 120.0, f"lasso lowering took {dt:.1f}s"
 
     nn = 256
     C = rng.standard_normal((nn, nn))
@@ -262,7 +264,7 @@ def test_sparse_lowering_scales():
     dt = time.time() - t0
     assert sp.issparse(d2["A"])
     assert c2["s"] == [nn]
-    assert dt < 20.0, f"SDP lowering took {dt:.1f}s"
+    assert dt < 120.0, f"SDP lowering took {dt:.1f}s"
 
 
 def test_sparse_emitted_A_solves(rng, monkeypatch):
