@@ -661,11 +661,22 @@ def exp_pow_projection_bench():
             R *= 2
             float(jnp.sum(chain(V, alpha, R)))
             float(jnp.sum(chain(V, alpha, 2 * R)))
-        diffs = sorted(measure(R) for _ in range(3))
-        per = diffs[1] / R
+        # a tunnel hiccup can push a single differential non-positive;
+        # such samples are non-measurements — retry them (same policy as
+        # diff_iters_per_s) rather than letting a negative land in the
+        # median or the error bar
+        diffs = []
+        for _ in range(8):
+            d = measure(R)
+            if d > 0.01:  # the reps loop targeted >= 50 ms of signal
+                diffs.append(d)
+            if len(diffs) == 3:
+                break
+        diffs = sorted(diffs) or [-1.0 * R * K / 1e9]  # -1.0 ns sentinel
+        per = diffs[len(diffs) // 2] / R
         stats[f"{name}_ns_per_projection"] = round(per / K * 1e9, 3)
         stats[f"{name}_ns_err"] = round(
-            (diffs[2] - diffs[0]) / 2 / R / K * 1e9, 3)
+            (diffs[-1] - diffs[0]) / 2 / R / K * 1e9, 3)
         stats[f"{name}_reps"] = R
     return stats
 

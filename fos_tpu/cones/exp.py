@@ -55,8 +55,11 @@ def _h_sign(rho, r, s, t):
     quad = rho * (rho - 1.0) + 1.0
     a = (rho - 1.0) * r + s
     b = rho * s - r
-    return jnp.where(pos, a + b * e2 - quad * t * e1,
-                     a * e2 + b - quad * t * e1)
+    # group as quad * (t * e1): left-to-right (quad*t)*e1 overflows to
+    # inf before the underflowed e1=0 multiplies in, making inf*0 = NaN
+    # (seen at rho=1e30-scale brackets with |t| ~ 1e30)
+    qte = quad * (t * e1)
+    return jnp.where(pos, a + b * e2 - qte, a * e2 + b - qte)
 
 
 def _h_grad(rho, r, s, t):

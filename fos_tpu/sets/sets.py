@@ -172,7 +172,7 @@ class Halfspace(_StatelessSet):
         # full-f32 contraction (bf16 MXU default distorts the violation
         # estimate for batched x on TPU)
         viol = ((jnp.matmul(x, self.a, precision=_hi) - self.beta)
-                / jnp.vdot(self.a, self.a))
+                / jnp.vdot(self.a, self.a, precision=_hi))
         viol = jnp.maximum(viol, 0.0)
         return x - viol[..., None] * self.a if x.ndim > 1 else x - viol * self.a, state
 

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 # length-l iterates; TPU MXU default is bf16 inputs (~1e-2 relative), which
 # distorts tiny Gram systems built from near-parallel vectors.  These
 # matmuls are O(r*l) / O(k*l) with r,k <= ~20 — HIGHEST is free here.
-_hi = jax.lax.Precision.HIGHEST
+# One source of truth for the pinned precision: hsde_ops.PREC.
+from fos_tpu.linalg.hsde_ops import PREC as _hi
 
 from fos_tpu.linalg.cg import CGState
 from fos_tpu.solvers.base import Algorithm, PlaneBuf, SolverState

@@ -219,3 +219,18 @@ def test_pow_alpha_extreme_f32_boundary():
                 v32 = jnp.asarray([x, y, f * zb], jnp.float32)
                 p = np.asarray(_proj_pow(v32, a), np.float64)
                 _pow_kkt(np.asarray(v32, np.float64), a, p, 2e-4)
+
+
+def test_h_sign_no_inf_times_zero_nan():
+    """Regression (r5 code review): ``quad * t * e1`` evaluated left to
+    right overflows (quad*t -> inf in f32) before the underflowed e1 = 0
+    multiplies in, yielding inf*0 = NaN — the exact 0*inf class _h_sign
+    exists to eliminate.  The regrouped ``quad * (t * e1)`` keeps every
+    intermediate bounded."""
+    from fos_tpu.cones.exp import _h_sign
+
+    rho = jnp.float32(1e7)        # quad = rho^2 ~ 1e14
+    for t in (1e30, -1e30, 3.4e38):
+        v = _h_sign(rho, jnp.float32(1e-7), jnp.float32(-1.0),
+                    jnp.float32(t))
+        assert bool(jnp.isfinite(v)), f"t={t}: {v}"
