@@ -31,6 +31,27 @@ import jax.numpy as jnp
 # small |z| aggressively; finish with pure cubic NS for contraction to ±1.
 _QUINTIC = (3.4445, -4.7750, 2.0315)
 
+# Per-iteration tuned schedule (round 5): greedy minimax design — each
+# quintic maximizes the post-iterate lower bound over the current spectrum
+# interval subject to max p <= 0.9999 (overshoot guard), starting from
+# [1e-4, 1]; two cubic polish steps finish to |f(z)-1| <= 1e-13 (f64
+# scalar).  9 quintics + 2 cubics = 31 matmuls vs the uniform schedule's
+# 10 + 12 = 54 at the SAME classification threshold (f32 matrix A/B at
+# d=512: max|P - P_eigh| 5.2e-7 new vs 4.4e-7 old on gauss spectra,
+# 5.0e-7 vs 2.8e-7 with planted 1e-4-scale eigenvalues).
+_SCHEDULE = np.array([
+    (3.346018, -6.177797, 2.993520),
+    (3.347131, -6.184793, 3.002299),
+    (3.259782, -5.968771, 3.709233),
+    (3.394741, -6.413290, 3.037562),
+    (3.707931, -8.532502, 5.699246),
+    (3.721769, -8.566419, 5.461109),
+    (3.581464, -7.764542, 5.178028),
+    (2.197576, -1.888380, 0.625264),
+    (2.005234, -1.523195, 0.517864),
+])
+_SCHEDULE_CUBICS = 2
+
 
 def _mm(a, b):
     # MXU matmuls truncate inputs to bf16 by default; the sign iteration
@@ -38,10 +59,9 @@ def _mm(a, b):
     return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
-def _matrix_sign(Y, quintic_iters: int, cubic_iters: int):
-    a, b, c = _QUINTIC
-
-    def quintic(Z, _):
+def _matrix_sign(Y, quintic_iters, cubic_iters):
+    def quintic(Z, coef):
+        a, b, c = coef
         Z2 = _mm(Z, Z)
         Z3 = _mm(Z2, Z)
         Z5 = _mm(Z2, Z3)
@@ -50,8 +70,15 @@ def _matrix_sign(Y, quintic_iters: int, cubic_iters: int):
     def cubic(Z, _):
         return 1.5 * Z - 0.5 * _mm(_mm(Z, Z), Z), None
 
-    Z, _ = jax.lax.scan(quintic, Y, None, length=quintic_iters)
-    Z, _ = jax.lax.scan(cubic, Z, None, length=cubic_iters)
+    if quintic_iters is None:  # tuned per-iteration schedule (default)
+        coefs = jnp.asarray(_SCHEDULE, Y.dtype)
+        cubics = _SCHEDULE_CUBICS
+    else:  # legacy uniform schedule (explicit iteration counts)
+        coefs = jnp.tile(jnp.asarray(_QUINTIC, Y.dtype)[None],
+                         (quintic_iters, 1))
+        cubics = cubic_iters
+    Z, _ = jax.lax.scan(quintic, Y, coefs)
+    Z, _ = jax.lax.scan(cubic, Z, None, length=cubics)
     return Z
 
 
@@ -79,8 +106,12 @@ def _spectral_bound(X, iters: int = 8):
     return jnp.where(est > 0, est, 1.0)
 
 
-def psd_project_poly(X, *, quintic_iters: int = 10, cubic_iters: int = 12):
-    """Project symmetric ``X`` (..., d, d) onto the PSD cone, matmul-only."""
+def psd_project_poly(X, *, quintic_iters=None, cubic_iters=None):
+    """Project symmetric ``X`` (..., d, d) onto the PSD cone, matmul-only.
+
+    Default (``quintic_iters=None``): the tuned 31-matmul per-iteration
+    schedule (``_SCHEDULE``).  Passing explicit ``quintic_iters`` /
+    ``cubic_iters`` selects the legacy uniform schedule."""
     R = _spectral_bound(X)
     Y = X / R
     Z = _matrix_sign(Y, quintic_iters, cubic_iters)
